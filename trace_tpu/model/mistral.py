@@ -1,0 +1,283 @@
+"""Mistral decoder in functional JAX, designed for TPU execution.
+
+From-scratch TPU-first re-design of the reference's HF-Mistral backbone
+(/root/reference/trace/model/language_model/trace_mistral.py).  Key choices:
+
+* parameters are a plain pytree with all transformer layers STACKED on a
+  leading axis so the forward pass is one ``lax.scan`` over layers — a single
+  compiled layer body, natural FSDP-style sharding of the stacked axis;
+* static-shaped KV cache (``[L, B, n_kv, max_len, head_dim]``): prefill does
+  causal attention within the (right-padded) prefix, decode attends over the
+  full cache with a validity mask — no dynamic shapes anywhere;
+* matmuls accumulate in fp32 via ``preferred_element_type``; logits are fp32
+  (reference keeps fp32 logits at trace_mistral.py:194-200);
+* the four output heads (text/sync/time/score) produce one concatenated
+  32,027-logit vector (reference: trace_mistral.py:191-204).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trace_tpu.model.config import DecoderConfig
+
+NEG_INF = -1e30  # finite large-negative avoids NaNs from (-inf) - (-inf)
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+def init_decoder_params(config: DecoderConfig, key: jax.Array, dtype=jnp.float32):
+    """Random-init decoder params (for tests / training from scratch).
+
+    Layout (all layer weights stacked on axis 0):
+      embed:      [V, D]
+      layers:
+        attn_norm [L, D], mlp_norm [L, D]
+        wq [L, D, NH, hd], wk [L, D, NKV, hd], wv [L, D, NKV, hd],
+        wo [L, NH, hd, D]
+        w_gate [L, D, I], w_up [L, D, I], w_down [L, I, D]
+      final_norm: [D]
+      lm_head [D, V], sync_head [D, 1], time_head [D, Vt], score_head [D, Vs]
+    """
+    c = config
+    k = jax.random.split(key, 12)
+    L, D, I = c.num_layers, c.hidden_size, c.intermediate_size
+    NH, NKV, HD = c.num_heads, c.num_kv_heads, c.head_dim
+    s = 0.02
+
+    def rnd(key, shape, scale=s):
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "embed": rnd(k[0], (c.vocab_size, D)),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "wq": rnd(k[1], (L, D, NH, HD)),
+            "wk": rnd(k[2], (L, D, NKV, HD)),
+            "wv": rnd(k[3], (L, D, NKV, HD)),
+            "wo": rnd(k[4], (L, NH, HD, D)),
+            "w_gate": rnd(k[5], (L, D, I)),
+            "w_up": rnd(k[6], (L, D, I)),
+            "w_down": rnd(k[7], (L, I, D)),
+        },
+        "final_norm": jnp.ones((D,), dtype),
+        "lm_head": rnd(k[8], (D, c.vocab_size)),
+        "sync_head": rnd(k[9], (D, 1)),
+        "time_head": rnd(k[10], (D, c.time_vocab_size)),
+        "score_head": rnd(k[11], (D, c.score_vocab_size)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in fp32, result cast back to input dtype (HF Mistral semantics)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed.astype(dtype) * weight.astype(dtype))
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
+    """positions [..., T] -> (cos, sin) each [..., T, head_dim], fp32.
+
+    Non-interleaved HF layout: frequencies repeated as [f, f] along the last
+    axis, paired with rotate_half.
+    """
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x [B, N, T, hd]; cos/sin [B, T, hd] broadcast over heads."""
+    cos = cos[:, None, :, :].astype(x.dtype)
+    sin = sin[:, None, :, :].astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
+
+
+def _attention(q, k, v, bias):
+    """q [B,NH,T,hd]; k,v [B,NKV,S,hd]; bias [B,1,T,S] additive fp32.
+
+    GQA via reshape-to-groups (no materialized repeat: the grouped einsum maps
+    onto the MXU directly).
+    """
+    B, NH, T, HD = q.shape
+    NKV = k.shape[1]
+    G = NH // NKV
+    qg = q.reshape(B, NKV, G, T, HD)
+    scores = jnp.einsum(
+        "bngth,bnsh->bngts", qg, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * (HD ** -0.5)
+    scores = scores + bias[:, :, None, :, :]  # [B,1,1,T,S] broadcast
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum(
+        "bngts,bnsh->bngth", probs, v, preferred_element_type=jnp.float32
+    )
+    return out.reshape(B, NH, T, HD).astype(q.dtype)
+
+
+def _layer(
+    x: jax.Array,
+    lp: dict,
+    *,
+    config: DecoderConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    bias: jax.Array,
+    cache_kv: Optional[Tuple[jax.Array, jax.Array]],
+    cache_index: Optional[jax.Array],
+):
+    """One decoder block. Returns (x_out, (new_k_cache, new_v_cache))."""
+    B, T, D = x.shape
+
+    h = rms_norm(x, lp["attn_norm"], config.rms_eps)
+    q = jnp.einsum("btd,dnh->bnth", h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.einsum("btd,dnh->bnth", h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.einsum("btd,dnh->bnth", h, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is None:
+        k_all, v_all, new_cache = k, v, None
+    else:
+        ck, cv = cache_kv  # [B, NKV, max_len, hd]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
+        k_all, v_all, new_cache = ck, cv, (ck, cv)
+
+    attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
+    attn_out = jnp.einsum(
+        "bnth,nhd->btd", attn, lp["wo"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    x = x + attn_out
+
+    h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
+    gate = jnp.einsum("btd,di->bti", h, lp["w_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("btd,di->bti", h, lp["w_up"], preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    mlp_out = jnp.einsum(
+        "bti,id->btd", act, lp["w_down"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x + mlp_out, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def decoder_forward(
+    params: dict,
+    config: DecoderConfig,
+    embeds: jax.Array,  # [B, T, D]
+    attn_mask: jax.Array,  # [B, T] bool — True = real token
+    positions: jax.Array,  # [B, T] int32 RoPE positions
+    *,
+    cache: Optional[Tuple[jax.Array, jax.Array]] = None,  # ([L,B,NKV,S,hd], ...)
+    cache_index: Optional[jax.Array] = None,
+    cache_mask: Optional[jax.Array] = None,  # [B, S] bool over cache slots
+    causal: bool = True,
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    """Run the decoder stack via lax.scan over stacked layer params.
+
+    Without a cache: standard (optionally causal) self-attention within the
+    sequence.  With a cache: keys/values are written at ``cache_index`` and
+    attention runs over the whole static cache, masked by ``cache_mask``
+    (slots valid *before* this call) plus the current chunk's causal pattern.
+    """
+    B, T, D = embeds.shape
+    x = embeds
+
+    cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta)
+
+    if cache is None:
+        bias = jnp.where(attn_mask[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+        if causal:
+            causal_m = jnp.tril(jnp.ones((T, T), jnp.bool_))
+            bias = bias + jnp.where(causal_m[None, None, :, :], 0.0, NEG_INF)
+    else:
+        S = cache[0].shape[3]
+        # A query at chunk offset i may see: previously valid cache slots, and
+        # newly written slots cache_index..cache_index+i that hold REAL tokens
+        # (left-padding in the chunk must stay invisible).
+        slot = jnp.arange(S)[None, None, None, :]  # [1,1,1,S]
+        qoff = jnp.arange(T)[None, None, :, None]  # [1,1,T,1]
+        in_chunk_causal = (slot >= cache_index) & (slot <= cache_index + qoff)
+        # valid_new[b, j] == attn_mask[b, j - cache_index] inside the chunk
+        valid_new = jax.lax.dynamic_update_slice(
+            jnp.zeros((B, S), jnp.bool_), attn_mask.astype(jnp.bool_), (0, cache_index)
+        )
+        new_vis = in_chunk_causal & valid_new[:, None, None, :]
+        old_vis = (
+            cache_mask[:, None, None, :]
+            if cache_mask is not None
+            else jnp.zeros((B, 1, 1, S), jnp.bool_)
+        )
+        bias = jnp.where(old_vis | new_vis, 0.0, NEG_INF).astype(jnp.float32)
+
+    layer_fn = partial(_layer, config=config, cos=cos, sin=sin, bias=bias)
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+    if cache is None:
+        def body(x, lp):
+            x, _ = layer_fn(x, lp, cache_kv=None, cache_index=None)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, params["layers"])
+        new_cache = None
+    else:
+        ck_all, cv_all = cache
+
+        def body(x, inputs):
+            lp, ck, cv = inputs
+            x, (nk, nv) = layer_fn(x, lp, cache_kv=(ck, cv), cache_index=cache_index)
+            return x, (nk, nv)
+
+        x, (nk_all, nv_all) = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
+        new_cache = (nk_all, nv_all)
+
+    x = rms_norm(x, params["final_norm"], config.rms_eps)
+    return x, new_cache
+
+
+def compute_logits(params: dict, hidden: jax.Array) -> jax.Array:
+    """hidden [..., D] -> combined fp32 logits [..., 32027].
+
+    Concatenation order text|sync|time|score matches the reference
+    (trace_mistral.py:191-204, 246).
+    """
+    h = hidden
+    text = jnp.einsum("...d,dv->...v", h, params["lm_head"], preferred_element_type=jnp.float32)
+    sync = jnp.einsum("...d,dv->...v", h, params["sync_head"], preferred_element_type=jnp.float32)
+    time = jnp.einsum("...d,dv->...v", h, params["time_head"], preferred_element_type=jnp.float32)
+    score = jnp.einsum("...d,dv->...v", h, params["score_head"], preferred_element_type=jnp.float32)
+    return jnp.concatenate([text, sync, time, score], axis=-1)
+
+
+def init_kv_cache(
+    config: DecoderConfig, batch_size: int, max_len: int, dtype=jnp.bfloat16
+) -> Tuple[jax.Array, jax.Array]:
+    shape = (config.num_layers, batch_size, config.num_kv_heads, max_len, config.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

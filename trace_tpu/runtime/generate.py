@@ -1,0 +1,232 @@
+"""Compiled autoregressive generation with the TRACE output-head FSM.
+
+The reference switches output heads in Python between HF generation steps by
+mutating a ``heads`` list and masking the concatenated logit vector with -inf
+(trace_mistral.py:244-252, 317-347).  Here the whole decode loop — including
+the head state machine — runs inside one jitted ``lax.while_loop``:
+
+* per-sequence head state is an int32 array in {0: text, 1: time, 2: score};
+* head restriction is a static ``[3, combined_vocab]`` additive mask table;
+* head transitions (swap_tokens, trace_mistral.py:86-88) are a branchless
+  ``jnp.where`` chain on the emitted token id;
+* the next token's input embedding is one gather from a combined
+  ``[combined_vocab, D]`` embedding table (text embeddings ++ sync ++ time ++
+  score tower embeddings), replacing the reference's four separate embedding
+  modules at decode time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trace_tpu.model.config import DecoderConfig
+from trace_tpu.model.mistral import (
+    NEG_INF,
+    compute_logits,
+    decoder_forward,
+    init_kv_cache,
+)
+
+PAD_OUTPUT_ID = -1  # emitted for steps after a sequence finished
+
+
+def head_mask_table(config: DecoderConfig) -> jnp.ndarray:
+    """[3, combined_vocab] additive mask: 0 inside the head's slice, -inf out.
+
+    Slices follow trace_mistral.py:248: text head sees [0, V+1) (text+sync),
+    time head [V+1, V+1+Vt), score head [V+1+Vt, V+1+Vt+Vs).
+    """
+    v, vt, vs = config.vocab_size, config.time_vocab_size, config.score_vocab_size
+    cv = config.combined_vocab_size
+    table = np.full((3, cv), NEG_INF, np.float32)
+    table[0, : v + 1] = 0.0
+    table[1, v + 1 : v + 1 + vt] = 0.0
+    table[2, v + 1 + vt : v + 1 + vt + vs] = 0.0
+    return jnp.asarray(table)
+
+
+def swap_heads(config: DecoderConfig, head: jax.Array, token: jax.Array) -> jax.Array:
+    """Branchless head transition on the emitted token (swap_tokens rules)."""
+    v, vt = config.vocab_size, config.time_vocab_size
+    head = jnp.where(token == v, 1, head)            # text <sync>  -> time
+    head = jnp.where(token == v + 1, 2, head)        # time <sync>  -> score
+    head = jnp.where(token == v + 1 + vt, 0, head)   # score <sync> -> text
+    return head
+
+
+def build_combined_embedding(
+    text_embed: jax.Array,   # [V, D]
+    sync_embed: jax.Array,   # [1, D]
+    time_embed: jax.Array,   # [Vt, D]
+    score_embed: jax.Array,  # [Vs, D]
+) -> jax.Array:
+    """Single [combined_vocab, D] input-embedding table for decode gathers."""
+    return jnp.concatenate([text_embed, sync_embed, time_embed, score_embed], axis=0)
+
+
+@dataclasses.dataclass
+class GenerateOutput:
+    tokens: np.ndarray        # [B, max_new_tokens], PAD_OUTPUT_ID after finish
+    num_generated: np.ndarray  # [B]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "max_new_tokens",
+        "cache_len",
+        "temperature",
+        "eos_id",
+    ),
+)
+def generate_jit(
+    params: dict,
+    config: DecoderConfig,
+    prefix_embeds: jax.Array,   # [B, P, D] LEFT-padded (content right-aligned)
+    prefix_mask: jax.Array,     # [B, P] bool
+    combined_embed: jax.Array,  # [CV, D]
+    initial_head: jax.Array,    # [B] int32
+    *,
+    max_new_tokens: int,
+    cache_len: int,
+    temperature: float = 0.0,
+    eos_id: int = 2,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Prefill + FSM decode, fully compiled. Returns (tokens, num_generated)."""
+    B, P, D = prefix_embeds.shape
+    assert cache_len >= P + max_new_tokens, "cache too small"
+    c = config
+
+    cache = init_kv_cache(c, B, cache_len, dtype=prefix_embeds.dtype)
+    mask_table = head_mask_table(c)
+
+    # --- prefill ---------------------------------------------------------
+    positions = jnp.maximum(jnp.cumsum(prefix_mask.astype(jnp.int32), axis=1) - 1, 0)
+    hidden, cache = decoder_forward(
+        params, c, prefix_embeds, prefix_mask, positions,
+        cache=cache, cache_index=jnp.int32(0),
+        cache_mask=jnp.zeros((B, cache_len), jnp.bool_),
+    )
+    cache_mask = jnp.pad(prefix_mask.astype(jnp.bool_), ((0, 0), (0, cache_len - P)))
+
+    last_hidden = hidden[:, -1, :]  # content is right-aligned
+    next_pos = jnp.sum(prefix_mask.astype(jnp.int32), axis=1)  # [B]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def pick_token(logits: jax.Array, head: jax.Array, key: jax.Array) -> jax.Array:
+        masked = logits + mask_table[head]
+        if temperature > 0.0:
+            return jax.random.categorical(key, masked / temperature, axis=-1)
+        return jnp.argmax(masked, axis=-1)
+
+    # --- first token from the prefill's last hidden state -----------------
+    rng, k0 = jax.random.split(rng)
+    logits0 = compute_logits(params, last_hidden)
+    tok0 = pick_token(logits0, initial_head, k0).astype(jnp.int32)
+    done0 = tok0 == eos_id
+    head0 = swap_heads(c, initial_head, tok0)
+
+    tokens = jnp.full((B, max_new_tokens), PAD_OUTPUT_ID, jnp.int32)
+    tokens = tokens.at[:, 0].set(jnp.where(done0, eos_id, tok0))
+
+    state = dict(
+        step=jnp.int32(1),
+        tokens=tokens,
+        head=head0,
+        cur_tok=tok0,
+        cache=cache,
+        cache_mask=cache_mask,
+        done=done0,
+        next_pos=next_pos,
+        rng=rng,
+    )
+
+    def cond(s):
+        return (s["step"] < max_new_tokens) & (~jnp.all(s["done"]))
+
+    def body(s):
+        step = s["step"]
+        cur_embed = combined_embed[s["cur_tok"]].astype(prefix_embeds.dtype)
+        write_idx = P + step - 1  # slot for the token being fed in
+        hidden, cache = decoder_forward(
+            params, c,
+            cur_embed[:, None, :],
+            jnp.ones((B, 1), jnp.bool_),
+            (s["next_pos"] + step - 1)[:, None],
+            cache=s["cache"], cache_index=write_idx, cache_mask=s["cache_mask"],
+        )
+        cache_mask = s["cache_mask"].at[:, write_idx].set(True)
+
+        rng, key = jax.random.split(s["rng"])
+        logits = compute_logits(params, hidden[:, -1, :])
+        tok = pick_token(logits, s["head"], key).astype(jnp.int32)
+
+        newly_done = tok == eos_id
+        emitted = jnp.where(s["done"], PAD_OUTPUT_ID, jnp.where(newly_done, eos_id, tok))
+        tokens = s["tokens"].at[:, step].set(emitted)
+        done = s["done"] | newly_done
+        head = jnp.where(s["done"], s["head"], swap_heads(c, s["head"], tok))
+
+        return dict(
+            step=step + 1,
+            tokens=tokens,
+            head=head,
+            cur_tok=tok,
+            cache=cache,
+            cache_mask=cache_mask,
+            done=done,
+            next_pos=s["next_pos"],
+            rng=rng,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    num = jnp.sum(final["tokens"] != PAD_OUTPUT_ID, axis=1)
+    return final["tokens"], num
+
+
+def generate(
+    params: dict,
+    config: DecoderConfig,
+    prefix_embeds: jax.Array,
+    prefix_mask: jax.Array,
+    combined_embed: jax.Array,
+    *,
+    max_new_tokens: int = 1024,
+    initial_head: int = 1,
+    temperature: float = 0.0,
+    eos_id: int = 2,
+    seed: int = 0,
+    pad_to_multiple: int = 128,
+) -> GenerateOutput:
+    """Host-side wrapper: left-pad/bucket the prefix, invoke the jitted loop.
+
+    ``initial_head`` defaults to 1 (time head) matching the production prompt
+    that ends with ``<sync>`` (scripts/inference/inference.py:45,54).
+    """
+    B, P, D = prefix_embeds.shape
+    bucket = max(pad_to_multiple, ((P + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple)
+    if bucket != P:
+        pad = bucket - P
+        prefix_embeds = jnp.pad(prefix_embeds, ((0, 0), (pad, 0), (0, 0)))
+        prefix_mask = jnp.pad(prefix_mask, ((0, 0), (pad, 0)))
+
+    cache_len = bucket + max_new_tokens
+    heads = jnp.full((B,), initial_head, jnp.int32)
+    tokens, num = generate_jit(
+        params, config, prefix_embeds, prefix_mask.astype(jnp.bool_),
+        combined_embed, heads,
+        max_new_tokens=max_new_tokens, cache_len=cache_len,
+        temperature=temperature, eos_id=eos_id,
+        rng=jax.random.PRNGKey(seed),
+    )
+    return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))
