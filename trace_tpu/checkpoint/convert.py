@@ -1,0 +1,337 @@
+"""HF checkpoint -> JAX pytree conversion.
+
+Converts the released TRACE checkpoints (TraceMistralForCausalLM merged dirs,
+reference: trace/model/builder.py:29-156) and their components (CLIP vision
+tower, mm_projector.bin, time/score/sync towers) into this framework's
+parameter layout.  Weight-layout contracts are documented per function; all
+are covered by parity tests against HF torch modules
+(tests/test_checkpoint_parity.py).
+
+Key layout recap (ours):
+  decoder: embed [V,D]; layers.* stacked [L,...]; wq [L,D,NH,hd] etc.;
+           lm/sync/time/score heads as [D, out] matrices.
+  vision:  patch_embed [3*p*p, D] channel-major; layers stacked.
+  connector(spatial_slot): slots [D_mm, S], ln_{scale,bias}, readout [D_mm, D_lm]
+  towers:  time [13,D], score [13,D], sync [1,D]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Callable, Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from trace_tpu.model.config import DecoderConfig, TraceConfig, VisionConfig
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+# ---------------------------------------------------------------------------
+# Raw tensor loading (safetensors / torch .bin), local files only
+# ---------------------------------------------------------------------------
+
+def load_safetensors_dir(path: str) -> Dict[str, Array]:
+    """Load every *.safetensors shard in a checkpoint dir to numpy."""
+    from safetensors import safe_open
+
+    tensors: Dict[str, Array] = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {path}")
+    for f in files:
+        with safe_open(os.path.join(path, f), framework="numpy") as reader:
+            for key in reader.keys():
+                tensors[key] = reader.get_tensor(key)
+    return tensors
+
+
+def load_torch_bin(path: str) -> Dict[str, Array]:
+    """Load a torch-serialized state dict (e.g. mm_projector.bin) to numpy."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.float().numpy() for k, v in state.items()}
+
+
+def load_checkpoint_tensors(path: str) -> Dict[str, Array]:
+    """Load tensors from a checkpoint dir (safetensors preferred, .bin fallback)."""
+    if any(f.endswith(".safetensors") for f in os.listdir(path)):
+        return load_safetensors_dir(path)
+    import torch
+
+    tensors: Dict[str, Array] = {}
+    for f in sorted(os.listdir(path)):
+        if f.startswith("pytorch_model") and f.endswith(".bin"):
+            state = torch.load(os.path.join(path, f), map_location="cpu", weights_only=True)
+            tensors.update({k: v.float().numpy() for k, v in state.items()})
+    if not tensors:
+        raise FileNotFoundError(f"no model weights found in {path}")
+    return tensors
+
+
+# ---------------------------------------------------------------------------
+# Mistral decoder
+# ---------------------------------------------------------------------------
+
+def convert_mistral_decoder(
+    sd: StateDict,
+    config: DecoderConfig,
+    *,
+    prefix: str = "model.",
+    dtype=jnp.float32,
+) -> dict:
+    """HF MistralForCausalLM (+TRACE heads) state dict -> decoder params.
+
+    HF nn.Linear stores [out, in]; our einsum contracts [in, out], so every
+    projection transposes.  Attention projections additionally reshape to
+    split heads: q_proj [NH*hd, D] -> wq [D, NH, hd].
+    """
+    c = config
+    L, D = c.num_layers, c.hidden_size
+    NH, NKV, HD = c.num_heads, c.num_kv_heads, c.head_dim
+
+    def get(name: str) -> Array:
+        return np.asarray(sd[name], np.float32)
+
+    def stack(fmt: str, f: Callable[[Array], Array]):
+        return jnp.asarray(
+            np.stack([f(get(fmt.format(i=i))) for i in range(L)]), dtype
+        )
+
+    params = {
+        "embed": jnp.asarray(get(f"{prefix}embed_tokens.weight")[: c.vocab_size], dtype),
+        "layers": {
+            "attn_norm": stack(prefix + "layers.{i}.input_layernorm.weight", lambda w: w),
+            "mlp_norm": stack(prefix + "layers.{i}.post_attention_layernorm.weight", lambda w: w),
+            "wq": stack(
+                prefix + "layers.{i}.self_attn.q_proj.weight",
+                lambda w: w.T.reshape(D, NH, HD),
+            ),
+            "wk": stack(
+                prefix + "layers.{i}.self_attn.k_proj.weight",
+                lambda w: w.T.reshape(D, NKV, HD),
+            ),
+            "wv": stack(
+                prefix + "layers.{i}.self_attn.v_proj.weight",
+                lambda w: w.T.reshape(D, NKV, HD),
+            ),
+            "wo": stack(
+                prefix + "layers.{i}.self_attn.o_proj.weight",
+                lambda w: w.T.reshape(NH, HD, D),
+            ),
+            "w_gate": stack(prefix + "layers.{i}.mlp.gate_proj.weight", lambda w: w.T),
+            "w_up": stack(prefix + "layers.{i}.mlp.up_proj.weight", lambda w: w.T),
+            "w_down": stack(prefix + "layers.{i}.mlp.down_proj.weight", lambda w: w.T),
+        },
+        "final_norm": jnp.asarray(get(f"{prefix}norm.weight"), dtype),
+        "lm_head": jnp.asarray(get("lm_head.weight")[: c.vocab_size].T, dtype),
+    }
+    # TRACE auxiliary heads (trace_mistral.py:91-94); absent in vanilla Mistral.
+    for name, width in (
+        ("sync_head", 1),
+        ("time_head", c.time_vocab_size),
+        ("score_head", c.score_vocab_size),
+    ):
+        key = f"{name}.weight"
+        if key in sd:
+            params[name] = jnp.asarray(get(key).T, dtype)
+        else:
+            params[name] = jnp.zeros((D, width), dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower
+# ---------------------------------------------------------------------------
+
+def convert_clip_vision(
+    sd: StateDict,
+    config: VisionConfig,
+    *,
+    prefix: str = "vision_model.",
+    dtype=jnp.float32,
+) -> dict:
+    """HF CLIPVisionModel state dict -> vit params.
+
+    patch_embedding.weight [D, 3, p, p] flattens channel-major to match
+    :func:`trace_tpu.model.vit.extract_patches`. Note HF's historical typo
+    'pre_layrnorm'.
+    """
+    c = config
+    L, D = c.num_layers, c.hidden_size
+
+    def get(name: str) -> Array:
+        return np.asarray(sd[prefix + name], np.float32)
+
+    def stack(fmt: str, f: Callable[[Array], Array] = lambda w: w):
+        return jnp.asarray(
+            np.stack([f(get(fmt.format(i=i))) for i in range(L)]), dtype
+        )
+
+    patch = get("embeddings.patch_embedding.weight")  # [D, 3, p, p]
+    patch = patch.reshape(D, -1).T  # [3*p*p, D], channel-major rows
+
+    pre_ln_key = (
+        "pre_layrnorm" if prefix + "pre_layrnorm.weight" in sd else "pre_layernorm"
+    )
+    lyr = "encoder.layers.{i}."
+    return {
+        "class_embedding": jnp.asarray(get("embeddings.class_embedding"), dtype),
+        "patch_embed": jnp.asarray(patch, dtype),
+        "position_embedding": jnp.asarray(get("embeddings.position_embedding.weight"), dtype),
+        "pre_ln": {
+            "scale": jnp.asarray(get(pre_ln_key + ".weight"), dtype),
+            "bias": jnp.asarray(get(pre_ln_key + ".bias"), dtype),
+        },
+        "layers": {
+            "ln1_scale": stack(lyr + "layer_norm1.weight"),
+            "ln1_bias": stack(lyr + "layer_norm1.bias"),
+            "wq": stack(lyr + "self_attn.q_proj.weight", lambda w: w.T),
+            "bq": stack(lyr + "self_attn.q_proj.bias"),
+            "wk": stack(lyr + "self_attn.k_proj.weight", lambda w: w.T),
+            "bk": stack(lyr + "self_attn.k_proj.bias"),
+            "wv": stack(lyr + "self_attn.v_proj.weight", lambda w: w.T),
+            "bv": stack(lyr + "self_attn.v_proj.bias"),
+            "wo": stack(lyr + "self_attn.out_proj.weight", lambda w: w.T),
+            "bo": stack(lyr + "self_attn.out_proj.bias"),
+            "ln2_scale": stack(lyr + "layer_norm2.weight"),
+            "ln2_bias": stack(lyr + "layer_norm2.bias"),
+            "fc1": stack(lyr + "mlp.fc1.weight", lambda w: w.T),
+            "b1": stack(lyr + "mlp.fc1.bias"),
+            "fc2": stack(lyr + "mlp.fc2.weight", lambda w: w.T),
+            "b2": stack(lyr + "mlp.fc2.bias"),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Connector (mm_projector) + towers
+# ---------------------------------------------------------------------------
+
+def convert_spatial_slot(sd: StateDict, *, prefix: str = "model.mm_projector.", dtype=jnp.float32) -> dict:
+    """SpatialSlotPool weights (builder.py:411-424): slots [D_mm, S],
+    ln_vision LayerNorm, readout Linear(no bias)."""
+    def get(name: str) -> Array:
+        return np.asarray(sd[prefix + name], np.float32)
+
+    return {
+        "slots": jnp.asarray(get("slots"), dtype),
+        "ln_scale": jnp.asarray(get("ln_vision.weight"), dtype),
+        "ln_bias": jnp.asarray(get("ln_vision.bias"), dtype),
+        "readout": jnp.asarray(get("readout.weight").T, dtype),
+    }
+
+
+def convert_towers(sd: StateDict, *, prefix: str = "model.", dtype=jnp.float32) -> dict:
+    def get(name: str) -> Array:
+        return np.asarray(sd[prefix + name], np.float32)
+
+    return {
+        "time": jnp.asarray(get("time_tower.embed_tokens.weight"), dtype),
+        "score": jnp.asarray(get("score_tower.embed_tokens.weight"), dtype),
+        "sync": jnp.asarray(get("sync_tower.embed_tokens.weight"), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Full TRACE checkpoint
+# ---------------------------------------------------------------------------
+
+def read_hf_config(path: str) -> dict:
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)
+
+
+def trace_config_from_hf(hf_cfg: dict, **overrides) -> TraceConfig:
+    dec = DecoderConfig(
+        vocab_size=hf_cfg.get("vocab_size", 32000),
+        hidden_size=hf_cfg.get("hidden_size", 4096),
+        intermediate_size=hf_cfg.get("intermediate_size", 14336),
+        num_layers=hf_cfg.get("num_hidden_layers", 32),
+        num_heads=hf_cfg.get("num_attention_heads", 32),
+        num_kv_heads=hf_cfg.get("num_key_value_heads", 8),
+        head_dim=hf_cfg.get("head_dim")
+        or hf_cfg.get("hidden_size", 4096) // hf_cfg.get("num_attention_heads", 32),
+        rope_theta=hf_cfg.get("rope_theta", 10000.0),
+        rms_eps=hf_cfg.get("rms_norm_eps", 1e-5),
+        time_vocab_size=hf_cfg.get("time_vocab_size", 13),
+        score_vocab_size=hf_cfg.get("score_vocab_size", 13),
+    )
+    return TraceConfig(
+        decoder=dec,
+        mm_projector_type=hf_cfg.get("mm_projector_type", "spatial_slot"),
+        num_slots=hf_cfg.get("num_slots", 8),
+        num_frames=hf_cfg.get("num_frames", 128),
+        image_aspect_ratio=hf_cfg.get("image_aspect_ratio", "pad"),
+        **overrides,
+    )
+
+
+def convert_trace_checkpoint(
+    path: str,
+    *,
+    dtype=jnp.bfloat16,
+    vision_path: str | None = None,
+) -> tuple:
+    """Merged TRACE checkpoint dir -> (params, TraceConfig).
+
+    Layout routed like load_pretrained_model (reference model/builder.py:
+    29-156): a merged dir carries decoder + heads + mm_projector + towers;
+    the CLIP tower weights come bundled or from ``vision_path``.
+    """
+    hf_cfg = read_hf_config(path)
+    config = trace_config_from_hf(hf_cfg, dtype=dtype)
+    sd = load_checkpoint_tensors(path)
+
+    params = {
+        "decoder": convert_mistral_decoder(sd, config.decoder, dtype=dtype),
+        "connector": convert_spatial_slot(sd, dtype=dtype)
+        if config.mm_projector_type == "spatial_slot"
+        else _convert_generic_projector(sd, config, dtype=dtype),
+        "towers": convert_towers(sd, dtype=dtype),
+    }
+
+    vision_sd = sd
+    vision_prefix = "model.vision_tower.vision_tower.vision_model."
+    if not any(k.startswith(vision_prefix) for k in sd):
+        if vision_path is None:
+            raise FileNotFoundError(
+                "checkpoint has no bundled vision tower; pass vision_path="
+                "<local clip-vit-large-patch14-336 dir>"
+            )
+        vision_sd = load_checkpoint_tensors(vision_path)
+        vision_prefix = "vision_model."
+    params["vision"] = convert_clip_vision(
+        vision_sd, config.vision, prefix=vision_prefix, dtype=dtype
+    )
+    return params, config
+
+
+def _convert_generic_projector(sd: StateDict, config: TraceConfig, *, dtype=jnp.float32) -> dict:
+    t = config.mm_projector_type
+    if t == "linear":
+        return {
+            "weight": jnp.asarray(np.asarray(sd["model.mm_projector.weight"], np.float32).T, dtype),
+            "bias": jnp.asarray(np.asarray(sd["model.mm_projector.bias"], np.float32), dtype),
+        }
+    m = re.match(r"^mlp(\d+)x_gelu$", t)
+    if m:
+        depth = int(m.group(1))
+        layers = []
+        for i in range(depth):
+            idx = i * 2  # GELUs sit at odd indices in the Sequential
+            layers.append({
+                "weight": jnp.asarray(
+                    np.asarray(sd[f"model.mm_projector.{idx}.weight"], np.float32).T, dtype
+                ),
+                "bias": jnp.asarray(
+                    np.asarray(sd[f"model.mm_projector.{idx}.bias"], np.float32), dtype
+                ),
+            })
+        return {"layers": layers}
+    raise NotImplementedError(f"projector conversion for {t} not implemented")

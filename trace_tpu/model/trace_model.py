@@ -1,0 +1,182 @@
+"""The full TRACE multimodal model: vision tower + connector + towers + decoder.
+
+Functional re-design of TraceMetaModel / TraceMetaForCausalLM
+(/root/reference/trace/model/trace_arch.py).  The reference splices
+per-modality embeddings with Python loops and boolean scatters per batch row
+(trace_arch.py:340-524); here the data pipeline lays out one fixed-shape
+combined-id sequence per sample (video span pre-expanded to its static
+``T * tokens_per_frame`` length), and the device does:
+
+* one gather from the combined [32027, D] embedding table for every
+  non-video token (text, sync, time chars, score chars), and
+* one dynamic-slice scatter of the computed video features into the span.
+
+No ragged shapes, no per-row Python — everything jits and shards.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from trace_tpu.constants import TIME_TOKENS_PER_FRAME
+from trace_tpu.model import connector as connector_lib
+from trace_tpu.model.config import TraceConfig
+from trace_tpu.model.mistral import (
+    compute_logits,
+    decoder_forward,
+    init_decoder_params,
+)
+from trace_tpu.model.towers import init_tower_params
+from trace_tpu.model.vit import init_vit_params, vit_forward
+from trace_tpu.runtime.generate import build_combined_embedding
+
+
+def init_trace_params(config: TraceConfig, key: jax.Array, dtype=None):
+    dtype = dtype or config.dtype
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    init_conn, _ = connector_lib.build_connector(config.mm_projector_type)
+    return {
+        "decoder": init_decoder_params(config.decoder, k1, dtype=dtype),
+        "vision": init_vit_params(config.vision, k2, dtype=dtype),
+        "connector": init_conn(
+            k3, config.vision.hidden_size, config.decoder.hidden_size,
+            num_slots=config.num_slots, dtype=dtype,
+        )
+        if config.mm_projector_type in ("spatial_slot", "slot")
+        else init_conn(k3, config.vision.hidden_size, config.decoder.hidden_size, dtype=dtype),
+        "towers": init_tower_params(k4, config.decoder.hidden_size, dtype=dtype),
+    }
+
+
+def combined_embedding(params: dict) -> jax.Array:
+    """[32027, D] input-embedding table: text ++ sync ++ time ++ score."""
+    return build_combined_embedding(
+        params["decoder"]["embed"],
+        params["towers"]["sync"],
+        params["towers"]["time"],
+        params["towers"]["score"],
+    )
+
+
+def tokens_per_frame(config: TraceConfig) -> int:
+    return config.num_slots + TIME_TOKENS_PER_FRAME
+
+
+def encode_video(
+    params: dict,
+    config: TraceConfig,
+    frames: jax.Array,          # [B, T, H, W, 3] CLIP-normalized
+    frame_time_ids: jax.Array,  # [B, T, 6] local time-token ids per frame
+) -> jax.Array:
+    """Frames -> interleaved visual+time token features [B, T*(S+6), D_lm].
+
+    Reference flow (trace_arch.py:218-266): ViT over all frames, slot
+    connector to S slots/frame, concat 6 time-token embeddings per frame
+    (the per-frame <sync> is dropped), flatten time-major.
+    """
+    B, T = frames.shape[:2]
+    flat = frames.reshape((B * T,) + frames.shape[2:])
+    feats = vit_forward(params["vision"], config.vision, flat)  # [B*T, N, D_mm]
+    feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
+
+    _, conn_fwd = connector_lib.build_connector(config.mm_projector_type)
+    slots = conn_fwd(params["connector"], feats)  # [B, T, S, D_lm]
+
+    time_feats = params["towers"]["time"][frame_time_ids]  # [B, T, 6, D_lm]
+    merged = jnp.concatenate([slots, time_feats.astype(slots.dtype)], axis=2)
+    return merged.reshape(B, T * merged.shape[2], merged.shape[3])
+
+
+def build_input_embeds(
+    params: dict,
+    config: TraceConfig,
+    token_ids: jax.Array,      # [B, L] combined-space ids; video span = any id
+    video_features: jax.Array,  # [B, Tv, D] from encode_video
+    video_pos: jax.Array,       # [B] start index of the video span
+) -> jax.Array:
+    """Gather token embeddings and scatter the video span. [B, L, D]."""
+    table = combined_embedding(params)
+    embeds = table[jnp.clip(token_ids, 0, table.shape[0] - 1)]
+
+    def put(row_embeds, row_feats, pos):
+        return jax.lax.dynamic_update_slice(
+            row_embeds, row_feats.astype(row_embeds.dtype), (pos, jnp.int32(0))
+        )
+
+    return jax.vmap(put)(embeds, video_features, video_pos)
+
+
+def forward_train(
+    params: dict,
+    config: TraceConfig,
+    batch: dict,
+    *,
+    remat: bool = True,
+) -> Tuple[jax.Array, dict]:
+    """Training forward: summed 3-stream CE loss (reference: trace_mistral.py:218-237).
+
+    ``batch`` keys (all static shapes, built by the data pipeline):
+      frames [B,T,H,W,3], frame_time_ids [B,T,6], token_ids [B,L],
+      video_pos [B], attn_mask [B,L] bool,
+      labels [B,L] (text stream: ids in [0, 32000] or IGNORE),
+      time_labels [B,L] (local ids or IGNORE), score_labels [B,L].
+    """
+    from trace_tpu.constants import IGNORE_INDEX
+
+    video_feats = encode_video(params, config, batch["frames"], batch["frame_time_ids"])
+    embeds = build_input_embeds(
+        params, config, batch["token_ids"], video_feats, batch["video_pos"]
+    )
+
+    B, L, D = embeds.shape
+    positions = jnp.maximum(
+        jnp.cumsum(batch["attn_mask"].astype(jnp.int32), axis=1) - 1, 0
+    )
+    hidden, _ = decoder_forward(
+        params["decoder"], config.decoder, embeds, batch["attn_mask"], positions,
+        remat=remat,
+    )
+    logits = compute_logits(params["decoder"], hidden)  # [B, L, CV] fp32
+
+    c = config.decoder
+    v = c.vocab_size
+    text_logits = logits[..., : v + 1]
+    time_logits = logits[..., v + 1 : v + 1 + c.time_vocab_size]
+    score_logits = logits[..., v + 1 + c.time_vocab_size :]
+
+    def ce(lg, lab):
+        lg = lg[:, :-1]
+        lab = lab[:, 1:]
+        valid = lab != IGNORE_INDEX
+        lab_safe = jnp.where(valid, lab, 0)
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        nll = -jnp.take_along_axis(logp, lab_safe[..., None], axis=-1)[..., 0]
+        n = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(jnp.where(valid, nll, 0.0)) / n
+
+    text_loss = ce(text_logits, batch["labels"])
+    time_loss = ce(time_logits, batch["time_labels"])
+    score_loss = ce(score_logits, batch["score_labels"])
+    loss = text_loss + time_loss + score_loss
+    return loss, {
+        "loss": loss,
+        "text_loss": text_loss,
+        "time_loss": time_loss,
+        "score_loss": score_loss,
+    }
+
+
+def encode_prefix_for_generation(
+    params: dict,
+    config: TraceConfig,
+    token_ids: jax.Array,       # [B, L] combined ids with video span placeholder
+    video_pos: jax.Array,       # [B]
+    frames: jax.Array,          # [B, T, H, W, 3]
+    frame_time_ids: jax.Array,  # [B, T, 6]
+) -> jax.Array:
+    """Inference prefix embeds: encode video + splice, jittable end-to-end."""
+    feats = encode_video(params, config, frames, frame_time_ids)
+    return build_input_embeds(params, config, token_ids, feats, video_pos)

@@ -1,0 +1,190 @@
+"""CLIP ViT-L/14-336 vision tower in functional JAX.
+
+TPU-first re-design of the reference's frozen HF CLIPVisionModel wrapper
+(/root/reference/trace/model/multimodal_encoder/clip_encoder.py).  Differences
+by design:
+
+* the hidden-states tap at ``mm_vision_select_layer=-2`` (output after all but
+  the final encoder layer, HF hidden_states[-2]) is implemented by simply not
+  running the last layer — the reference computes it and throws it away;
+* patch embedding is a reshape + one big matmul (maps straight onto the MXU)
+  instead of a conv; CLIP normalization can be folded into the patch-embed
+  weight (see :func:`fold_normalization_into_patch_embed`);
+* encoder layers are stacked and scanned.
+
+CLIP specifics preserved for checkpoint parity: class token participates in
+attention and is dropped from the output ('patch' feature select,
+clip_encoder.py:31-39); QuickGELU activation; pre-layernorm; attention with
+q/k/v/out biases.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trace_tpu.model.config import VisionConfig
+
+# OpenAI CLIP normalization constants (CLIPImageProcessor defaults).
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def init_vit_params(config: VisionConfig, key: jax.Array, dtype=jnp.float32):
+    c = config
+    L, D, I, P = c.num_layers, c.hidden_size, c.intermediate_size, c.patch_size
+    n_pos = c.num_patches + 1
+    k = jax.random.split(key, 8)
+    s = 0.02
+
+    def rnd(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * s).astype(dtype)
+
+    return {
+        "class_embedding": rnd(k[0], (D,)),
+        "patch_embed": rnd(k[1], (P * P * 3, D)),  # folded conv kernel
+        "position_embedding": rnd(k[2], (n_pos, D)),
+        "pre_ln": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        "layers": {
+            "ln1_scale": jnp.ones((L, D), dtype),
+            "ln1_bias": jnp.zeros((L, D), dtype),
+            "wq": rnd(k[3], (L, D, D)),
+            "bq": jnp.zeros((L, D), dtype),
+            "wk": rnd(k[4], (L, D, D)),
+            "bk": jnp.zeros((L, D), dtype),
+            "wv": rnd(k[5], (L, D, D)),
+            "bv": jnp.zeros((L, D), dtype),
+            "wo": rnd(k[6], (L, D, D)),
+            "bo": jnp.zeros((L, D), dtype),
+            "ln2_scale": jnp.ones((L, D), dtype),
+            "ln2_bias": jnp.zeros((L, D), dtype),
+            "fc1": rnd(k[7], (L, D, I)),
+            "b1": jnp.zeros((L, I), dtype),
+            "fc2": rnd(k[7], (L, I, D)),
+            "b2": jnp.zeros((L, D), dtype),
+        },
+    }
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def extract_patches(images: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, 3] -> [B, n_patches, patch*patch*3] (row-major patch grid).
+
+    Channel ordering within a patch matches a conv kernel reshaped as
+    [C, kh, kw] -> flat, so HF conv weights convert with a transpose.
+    """
+    B, H, W, C = images.shape
+    p = patch_size
+    gh, gw = H // p, W // p
+    x = images.reshape(B, gh, p, gw, p, C)
+    x = x.transpose(0, 1, 3, 5, 2, 4)  # [B, gh, gw, C, p, p]
+    return x.reshape(B, gh * gw, C * p * p)
+
+
+def normalize_images(images: jax.Array) -> jax.Array:
+    """Apply CLIP channel normalization to [0,1]-ranged [B, H, W, 3] images."""
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, images.dtype)
+    std = jnp.asarray(CLIP_IMAGE_STD, images.dtype)
+    return (images - mean) / std
+
+
+def fold_normalization_into_patch_embed(
+    patch_embed: np.ndarray, patch_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold CLIP (x-mean)/std into the patch-embed matmul.
+
+    Returns (W', b') with  raw @ W' + b' == normalize(raw) @ W  for raw images
+    in [0,1], removing a full-image elementwise pass over HBM.
+    Weight layout: [C*p*p, D] with channel-major rows (see extract_patches).
+    """
+    cpp, D = patch_embed.shape
+    pp = patch_size * patch_size
+    w = patch_embed.reshape(3, pp, D)
+    inv_std = (1.0 / CLIP_IMAGE_STD).reshape(3, 1, 1)
+    w_scaled = (w * inv_std).reshape(cpp, D)
+    bias = -(CLIP_IMAGE_MEAN / CLIP_IMAGE_STD).reshape(3, 1) * np.ones((3, pp), np.float32)
+    b = (bias.reshape(1, cpp) @ patch_embed.reshape(cpp, D)).reshape(D)
+    return w_scaled.astype(patch_embed.dtype), b.astype(patch_embed.dtype)
+
+
+def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig) -> jax.Array:
+    c = config
+    NH = c.num_heads
+    B, T, D = x.shape
+    HD = D // NH
+
+    h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
+    q = (jnp.einsum("btd,de->bte", h, lp["wq"], preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)
+    k = (jnp.einsum("btd,de->bte", h, lp["wk"], preferred_element_type=jnp.float32) + lp["bk"]).astype(x.dtype)
+    v = (jnp.einsum("btd,de->bte", h, lp["wv"], preferred_element_type=jnp.float32) + lp["bv"]).astype(x.dtype)
+    q = q.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * (HD ** -0.5), axis=-1).astype(x.dtype)
+    attn = jnp.einsum("bnts,bnsh->bnth", probs, v, preferred_element_type=jnp.float32)
+    attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+    attn = (jnp.einsum("btd,de->bte", attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]).astype(x.dtype)
+    x = x + attn
+
+    h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], c.layer_eps)
+    h1 = (jnp.einsum("btd,di->bti", h, lp["fc1"], preferred_element_type=jnp.float32) + lp["b1"]).astype(x.dtype)
+    h2 = (jnp.einsum("bti,id->btd", quick_gelu(h1), lp["fc2"], preferred_element_type=jnp.float32) + lp["b2"]).astype(x.dtype)
+    return x + h2
+
+
+def vit_forward(
+    params: dict,
+    config: VisionConfig,
+    images: jax.Array,  # [B, H, W, 3], already CLIP-normalized (or raw if the
+                        # normalization was folded into patch_embed)
+    *,
+    patch_bias: jax.Array | None = None,
+) -> jax.Array:
+    """Images -> patch features [B, num_patches, hidden] at the -2 tap.
+
+    Runs ``num_layers + 1 + select_layer`` encoder layers (23 of 24 for the
+    production -2 tap) and drops the CLS position from the output.
+    """
+    c = config
+    B = images.shape[0]
+
+    patches = extract_patches(images, c.patch_size).astype(params["patch_embed"].dtype)
+    embeds = jnp.einsum(
+        "bnp,pd->bnd", patches, params["patch_embed"], preferred_element_type=jnp.float32
+    )
+    if patch_bias is not None:
+        embeds = embeds + patch_bias
+    embeds = embeds.astype(params["patch_embed"].dtype)
+
+    cls = jnp.broadcast_to(params["class_embedding"], (B, 1, c.hidden_size))
+    x = jnp.concatenate([cls, embeds], axis=1)
+    x = x + params["position_embedding"][None, : x.shape[1]]
+    x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], c.layer_eps)
+
+    num_run = c.num_layers + 1 + c.select_layer  # -2 => num_layers - 1
+    layers = jax.tree.map(lambda a: a[:num_run], params["layers"])
+
+    def body(x, lp):
+        return _vit_layer(x, lp, c), None
+
+    x, _ = jax.lax.scan(body, x, layers)
+
+    if c.select_feature == "patch":
+        return x[:, 1:]
+    return x

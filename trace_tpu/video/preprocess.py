@@ -1,0 +1,67 @@
+"""Frame preprocessing: pad-to-square + resize + CLIP normalization.
+
+The reference does this on host with PIL + CLIPImageProcessor per frame
+(expand2square + processor.preprocess, mm_utils.py:259-270, 459-464).  Here
+the whole transform is a jittable device function so XLA fuses it with (or
+ahead of) the ViT patch-embed — raw uint8 frames are the only host->device
+transfer.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+
+def pad_to_square_np(frames: np.ndarray, fill: np.ndarray) -> np.ndarray:
+    """Host fallback of expand2square (mm_utils.py:259-270): center the frame
+    on a square canvas filled with the CLIP mean color."""
+    T, H, W, C = frames.shape
+    if H == W:
+        return frames
+    side = max(H, W)
+    canvas = np.empty((T, side, side, C), frames.dtype)
+    canvas[:] = fill
+    top, left = (side - H) // 2, (side - W) // 2
+    canvas[:, top : top + H, left : left + W] = frames
+    return canvas
+
+
+def preprocess_frames(
+    frames: jax.Array,  # [T, H, W, 3] uint8 or float in [0, 255]
+    image_size: int = 336,
+    *,
+    aspect_ratio: str = "pad",
+    normalize: bool = True,
+) -> jax.Array:
+    """uint8 frames -> CLIP-ready [T, S, S, 3] float32, fully on device.
+
+    'pad' centers the frame on a square mean-color canvas before the resize
+    (matching the production image_aspect_ratio='pad'); otherwise the frame is
+    resized directly (aspect distortion, like CLIPImageProcessor on
+    pre-squared inputs).
+    """
+    T, H, W, C = frames.shape
+    x = frames.astype(jnp.float32) / 255.0
+
+    if aspect_ratio == "pad" and H != W:
+        side = max(H, W)
+        mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
+        canvas = jnp.broadcast_to(mean, (T, side, side, C))
+        top, left = (side - H) // 2, (side - W) // 2
+        x = jax.lax.dynamic_update_slice(canvas, x, (0, top, left, 0))
+
+    if x.shape[1] != image_size or x.shape[2] != image_size:
+        x = jax.image.resize(
+            x, (T, image_size, image_size, C), method="bicubic", antialias=True
+        )
+        x = jnp.clip(x, 0.0, 1.0)
+
+    if normalize:
+        mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
+        std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
+        x = (x - mean) / std
+    return x
