@@ -79,7 +79,15 @@ def encode_video(
     """
     B, T = frames.shape[:2]
     flat = frames.reshape((B * T,) + frames.shape[2:])
-    feats = vit_forward(params["vision"], config.vision, flat)  # [B*T, N, D_mm]
+    chunk = config.vit_chunk_size
+    if chunk and flat.shape[0] > chunk and flat.shape[0] % chunk == 0:
+        chunks = flat.reshape((flat.shape[0] // chunk, chunk) + flat.shape[1:])
+        feats = jax.lax.map(
+            lambda c: vit_forward(params["vision"], config.vision, c), chunks
+        )
+        feats = feats.reshape((B * T,) + feats.shape[2:])
+    else:
+        feats = vit_forward(params["vision"], config.vision, flat)  # [B*T, N, D]
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
 
     _, conn_fwd = connector_lib.build_connector(config.mm_projector_type)

@@ -1,0 +1,125 @@
+"""Device mesh construction and sharding rules.
+
+Replaces the reference's DeepSpeed ZeRO-3 data parallelism (scripts/
+zero3.json, trace_trainer.py:20-31) with jax.sharding GSPMD over a 2-D
+('data', 'model') mesh:
+
+* batch axes shard over 'data' (pure DP);
+* weight head/intermediate axes shard over 'model' (tensor parallel) — XLA
+  inserts the ICI collectives;
+* the frame axis of the ViT batch also shards over 'model' (the 128-frame
+  encode is embarrassingly parallel over frames — the sequence-parallel lever
+  noted in SURVEY.md §2.3), so a single video's encode spreads across chips.
+
+Rules are name-matched over the params pytree, so they apply equally to the
+tiny test model and the 7B flagship.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def build_mesh(n_devices: Optional[int] = None, model_axis: Optional[int] = None) -> Mesh:
+    """2-D mesh over the first n devices: ('data', 'model').
+
+    model_axis defaults to min(4, n) (v5e-8 => 2x4) — TP groups stay inside
+    one ICI domain; everything else is DP.
+    """
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if model_axis is None:
+        model_axis = min(4, n)
+    while n % model_axis:
+        model_axis -= 1
+    grid = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+# Name-matched PartitionSpec rules for decoder/vision/connector/tower params.
+# Checked in order; first key that is a suffix of the param path wins.
+_PARAM_RULES: tuple[tuple[str, P], ...] = (
+    # decoder
+    ("decoder/embed", P("model", None)),
+    ("decoder/layers/wq", P(None, None, "model", None)),
+    ("decoder/layers/wk", P(None, None, "model", None)),
+    ("decoder/layers/wv", P(None, None, "model", None)),
+    ("decoder/layers/wo", P(None, "model", None, None)),
+    ("decoder/layers/w_gate", P(None, None, "model")),
+    ("decoder/layers/w_up", P(None, None, "model")),
+    ("decoder/layers/w_down", P(None, "model", None)),
+    ("decoder/lm_head", P(None, "model")),
+    ("decoder/time_head", P(None, None)),
+    ("decoder/score_head", P(None, None)),
+    ("decoder/sync_head", P(None, None)),
+    # vision (attention fused [L, D, D]: shard output dim)
+    ("vision/patch_embed", P(None, "model")),
+    ("vision/position_embedding", P(None, None)),
+    ("vision/layers/wq", P(None, None, "model")),
+    ("vision/layers/wk", P(None, None, "model")),
+    ("vision/layers/wv", P(None, None, "model")),
+    ("vision/layers/wo", P(None, "model", None)),
+    ("vision/layers/fc1", P(None, None, "model")),
+    ("vision/layers/fc2", P(None, "model", None)),
+    ("vision/layers/bq", P(None, "model")),
+    ("vision/layers/bk", P(None, "model")),
+    ("vision/layers/bv", P(None, "model")),
+    ("vision/layers/b1", P(None, "model")),
+    # connector
+    ("connector/readout", P(None, "model")),
+)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_spec(path, leaf) -> P:
+    s = _path_str(path)
+    for key, spec in _PARAM_RULES:
+        if s.endswith(key) or key in s:
+            if len(spec) == getattr(leaf, "ndim", 0):
+                return spec
+    return P()  # replicate
+
+
+def param_shardings(params: dict, mesh: Mesh):
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+    )
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    """Place a params pytree on the mesh per the TP/replication rules."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+_BATCH_RULES: dict[str, P] = {
+    # frames: batch over data, FRAME axis over model (frame-parallel ViT)
+    "frames": P("data", "model"),
+    "frame_time_ids": P("data", "model"),
+}
+
+
+def batch_shardings(mesh: Mesh, batch: dict) -> dict:
+    """Per-key shardings for a batch dict (default: batch axis over 'data')."""
+    return {
+        k: NamedSharding(mesh, _BATCH_RULES.get(k, P("data"))) for k in batch
+    }
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    return jax.device_put(batch, batch_shardings(mesh, batch))

@@ -1,0 +1,194 @@
+"""End-to-end inference pipeline: video file -> event triplets.
+
+Replicates the public surface of scripts/inference/inference.py and
+trace/__init__.py (model_init / infer) on the TPU-native stack:
+
+  decode+sample frames (host) -> preprocess+ViT+connector+splice (one jitted
+  device program) -> compiled FSM decode -> shared structured decoder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from trace_tpu import conversation as conv
+from trace_tpu.constants import MODAL_TOKEN_INDEX
+from trace_tpu.model.config import TraceConfig
+from trace_tpu.model.trace_model import (
+    combined_embedding,
+    encode_prefix_for_generation,
+    tokens_per_frame,
+)
+from trace_tpu.runtime import generate as gen
+from trace_tpu.tokenizers.event_codec import (
+    TIME_CODEC,
+    EventPredictions,
+    decode_event_stream,
+)
+from trace_tpu.tokenizers.text import TextTokenizer, splice_modal_tokens
+from trace_tpu.video.io import load_video_frames
+from trace_tpu.video.preprocess import preprocess_frames
+
+
+def expand_prompt_ids(
+    spliced_ids: Sequence[int],
+    num_video_tokens: int,
+    text_vocab_size: int,
+) -> tuple[np.ndarray, int]:
+    """Sentinel-spliced prompt ids -> combined-space ids + video span start.
+
+    * exactly one VIDEO/IMAGE sentinel (asserted like trace_arch.py:411),
+      expanded to ``num_video_tokens`` placeholder positions (id 0 — their
+      embeddings are overwritten by the feature scatter);
+    * SYNC sentinels become the combined sync id (= text_vocab_size), whose
+      embedding row IS the sync tower.
+    """
+    video_positions = [
+        i for i, t in enumerate(spliced_ids)
+        if t in (MODAL_TOKEN_INDEX["VIDEO"], MODAL_TOKEN_INDEX["IMAGE"])
+    ]
+    assert len(video_positions) == 1, "only have one video inputs!"
+    vp = video_positions[0]
+
+    out: list[int] = []
+    for i, t in enumerate(spliced_ids):
+        if i == vp:
+            out.extend([0] * num_video_tokens)
+        elif t == MODAL_TOKEN_INDEX["SYNC"]:
+            out.append(text_vocab_size)
+        else:
+            assert t >= 0, f"unexpected sentinel {t} in inference prompt"
+            out.append(int(t))
+    return np.asarray(out, np.int32), vp
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _encode_prefix_jit(params, config: TraceConfig, token_ids, video_pos, frames, frame_time_ids):
+    return encode_prefix_for_generation(
+        params, config, token_ids, video_pos, frames, frame_time_ids
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "image_size", "aspect_ratio"))
+def _preprocess_jit(frames_u8, config: TraceConfig, image_size: int, aspect_ratio: str):
+    return preprocess_frames(frames_u8, image_size, aspect_ratio=aspect_ratio)
+
+
+@dataclasses.dataclass
+class TracePipeline:
+    """Owns params + config + tokenizer; runs single/batched video inference."""
+
+    params: dict
+    config: TraceConfig
+    tokenizer: TextTokenizer
+
+    def _prepare_prefix(
+        self,
+        frames_u8: np.ndarray,            # [T, H, W, 3] uint8
+        video_timestamps: Sequence,        # [[sec], ...] per frame
+        instruction: str,
+        template: str = "llama_2",
+    ):
+        cfg = self.config
+        prompt = conv.build_trace_prompt(instruction, template_name=template)
+        spliced = splice_modal_tokens(prompt, self.tokenizer)
+
+        T = frames_u8.shape[0]
+        n_video_tokens = T * tokens_per_frame(cfg)
+        token_ids, video_pos = expand_prompt_ids(
+            spliced, n_video_tokens, cfg.decoder.vocab_size
+        )
+
+        time_ids = np.stack(
+            [TIME_CODEC.encode_value(ts[0] if isinstance(ts, (list, tuple)) else ts)
+             for ts in video_timestamps]
+        ).astype(np.int32)
+
+        frames = _preprocess_jit(
+            jnp.asarray(frames_u8), cfg, cfg.vision.image_size, cfg.image_aspect_ratio
+        ).astype(cfg.dtype)
+
+        prefix = _encode_prefix_jit(
+            self.params, cfg,
+            jnp.asarray(token_ids)[None],
+            jnp.asarray([video_pos], jnp.int32),
+            frames[None],
+            jnp.asarray(time_ids)[None],
+        )
+        return prefix  # [1, P, D]
+
+    def infer_events(
+        self,
+        video_path: str,
+        instruction: str,
+        *,
+        num_frames: Optional[int] = None,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.0,
+        template: str = "llama_2",
+        seed: int = 0,
+    ) -> EventPredictions:
+        """Single-video causal event inference (inference.py:15-128 parity)."""
+        cfg = self.config
+        frames_u8, timestamps = load_video_frames(
+            video_path, num_frames or cfg.num_frames
+        )
+        return self.infer_events_from_frames(
+            frames_u8, timestamps, instruction,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            template=template, seed=seed,
+        )
+
+    def infer_events_from_frames(
+        self,
+        frames_u8: np.ndarray,
+        video_timestamps: Sequence,
+        instruction: str,
+        *,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.0,
+        template: str = "llama_2",
+        seed: int = 0,
+    ) -> EventPredictions:
+        prefix = self._prepare_prefix(frames_u8, video_timestamps, instruction, template)
+        B, P, _ = prefix.shape
+        out = gen.generate(
+            self.params["decoder"], self.config.decoder,
+            prefix, jnp.ones((B, P), bool),
+            combined_embedding(self.params),
+            max_new_tokens=max_new_tokens,
+            initial_head=1,  # prompt ends with <sync> (inference.py:45,54)
+            temperature=temperature,
+            eos_id=self.tokenizer.eos_token_id,
+            seed=seed,
+        )
+        ids = [int(t) for t in out.tokens[0] if t != gen.PAD_OUTPUT_ID]
+        return decode_event_stream(
+            ids,
+            lambda caption_ids: self.tokenizer.decode(caption_ids, skip_special_tokens=True),
+            text_vocab_size=self.config.decoder.vocab_size,
+        )
+
+
+def model_init(
+    model_path: str,
+    *,
+    vision_path: Optional[str] = None,
+    dtype=jnp.bfloat16,
+) -> TracePipeline:
+    """Load a released TRACE checkpoint dir into a pipeline
+    (load_pretrained_model parity, reference model/builder.py:29-156)."""
+    from trace_tpu.checkpoint.convert import convert_trace_checkpoint
+    from trace_tpu.tokenizers.text import load_hf_tokenizer
+
+    params, config = convert_trace_checkpoint(
+        model_path, dtype=dtype, vision_path=vision_path
+    )
+    tokenizer = load_hf_tokenizer(model_path)
+    return TracePipeline(params=params, config=config, tokenizer=tokenizer)

@@ -181,6 +181,8 @@ class EventPredictions:
 def decode_event_stream(
     ids: Iterable[int],
     detokenize: Callable[[Sequence[int]], str],
+    *,
+    text_vocab_size: int = TEXT_VOCAB_SIZE,
 ) -> EventPredictions:
     """Invert a combined-id stream into event triplets.
 
@@ -195,6 +197,11 @@ def decode_event_stream(
         flushes the pending float and closes the timestamps list;
       * score ids behave identically in their block.
     """
+    sync_id = text_vocab_size
+    time_off = text_vocab_size + 1
+    score_off = time_off + TIME_VOCAB_SIZE
+    combined = score_off + SCORE_VOCAB_SIZE
+
     timestamps: list[list[float]] = []
     scores: list[list[float]] = []
     captions: list[str] = []
@@ -219,14 +226,14 @@ def decode_event_stream(
         idx = int(raw)
         if idx < 0:
             continue  # padding / sentinel ids are skipped
-        if idx <= SYNC_TOKEN_ID:
-            if idx == SYNC_TOKEN_ID:
+        if idx <= sync_id:
+            if idx == sync_id:
                 captions.append(detokenize(cur_caption))
                 cur_caption = []
             else:
                 cur_caption.append(idx)
-        elif idx < SCORE_OFFSET:
-            local = idx - TIME_OFFSET
+        elif idx < score_off:
+            local = idx - time_off
             if local == LOCAL_SYNC:
                 flush_time_value()
                 timestamps.append(cur_times)
@@ -235,8 +242,8 @@ def decode_event_stream(
                 flush_time_value()
             else:
                 cur_time_chars.append(_LOCAL_TO_CHAR[local])
-        elif idx < COMBINED_VOCAB_SIZE:
-            local = idx - SCORE_OFFSET
+        elif idx < combined:
+            local = idx - score_off
             if local == LOCAL_SYNC:
                 flush_score_value()
                 scores.append(cur_scores)
