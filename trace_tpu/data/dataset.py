@@ -1,0 +1,355 @@
+"""Training data pipeline: annotations -> fixed-shape multimodal batches.
+
+Re-designs the reference's LazySupervisedDataset + preprocess_llama_2 +
+DataCollator (train_mt.py:354-900) for static-shape TPU training:
+
+* the assistant's event response is built DIRECTLY in the combined 32,027-id
+  space (time chars at TIME_OFFSET+local, score chars at SCORE_OFFSET+local,
+  <sync> = 32000), instead of spraying ``<time>``/``<score>`` sentinel tags
+  through the text and re-matching them later (trace_arch.py:398-447);
+* label construction is segment-based (each prompt segment carries its own
+  supervise-flag) rather than string-split round matching — the class of
+  "tokenization mismatch" bugs the reference guards against at
+  train_mt.py:542-548 cannot occur;
+* GT event times snap to the nearest sampled frame timestamp
+  (train_mt.py:842), which is what makes trace-retrieval-style decoding
+  learnable;
+* every sample pads to a fixed max_len with a fixed num_frames, so one
+  compiled train step serves the whole epoch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+from typing import Optional, Sequence
+
+import numpy as np
+
+from trace_tpu import conversation as conv_lib
+from trace_tpu.constants import (
+    IGNORE_INDEX,
+    SCORE_OFFSET,
+    SYNC_TOKEN_ID,
+    TIME_OFFSET,
+)
+from trace_tpu.tokenizers.event_codec import SCORE_CODEC, TIME_CODEC
+from trace_tpu.tokenizers.text import TextTokenizer
+
+
+@dataclasses.dataclass
+class Segment:
+    """A run of combined-space ids with uniform supervision semantics."""
+
+    ids: list[int]
+    supervised: bool = False
+    kind: str = "text"  # 'text' | 'time' | 'score' | 'video'
+
+
+def snap_times_to_frames(
+    times: Sequence[Sequence[float]], frame_timestamps: Sequence[Sequence[float]]
+) -> list[list[float]]:
+    """Snap GT event times to the nearest sampled frame timestamp
+    (reference: train_mt.py:842)."""
+    frame_ts = [t[0] for t in frame_timestamps]
+    return [
+        [min(frame_ts, key=lambda x: abs(x - target)) for target in interval]
+        for interval in times
+    ]
+
+
+def event_response_segments(
+    events: Sequence[dict],
+    tokenizer: TextTokenizer,
+    *,
+    text_vocab_size: int = 32000,
+) -> list[Segment]:
+    """GT events -> supervised segments: times <sync> scores <sync> caption <sync>.
+
+    Combined-space layout follows §2.1 of SURVEY.md; local time/score ids are
+    recoverable as (id - offset) for the auxiliary label streams.
+    """
+    time_off = text_vocab_size + 1
+    score_off = time_off + 13
+    segs: list[Segment] = []
+    for ev in events:
+        t_ids = [time_off + i for i in TIME_CODEC.encode(ev["timestamp"])]
+        segs.append(Segment(t_ids, supervised=True, kind="time"))
+        s_ids = [score_off + i for i in SCORE_CODEC.encode(ev["score"])]
+        segs.append(Segment(s_ids, supervised=True, kind="score"))
+        cap = tokenizer.encode(ev["caption"])
+        if cap and cap[0] == tokenizer.bos_token_id:
+            cap = cap[1:]
+        segs.append(Segment(list(cap) + [text_vocab_size], supervised=True, kind="text"))
+    return segs
+
+
+def build_prompt_segments(
+    instruction: str,
+    tokenizer: TextTokenizer,
+    num_video_tokens: int,
+    *,
+    template: str = "llama_2",
+    text_vocab_size: int = 32000,
+) -> tuple[list[Segment], int]:
+    """Instruction prompt -> unsupervised segments with the video span.
+
+    Returns (segments, video_pos_within_ids). The prompt mirrors the
+    production assembly: ``[INST] <<SYS>>..<</SYS>> <video>\\nQ [/INST]<sync>``
+    with the trailing <sync> starting the event stream (time head first).
+    """
+    tpl = conv_lib.get_template(template)
+    prompt = tpl.prompt([
+        tpl.user_turn(f"<video>\n{instruction}"),
+        tpl.assistant_turn(None),
+    ])
+    pre, post = prompt.split("<video>")
+
+    pre_ids = tokenizer.encode(pre) if pre else [tokenizer.bos_token_id]
+    post_ids = tokenizer.encode(post)
+    if post_ids and post_ids[0] == tokenizer.bos_token_id:
+        post_ids = post_ids[1:]
+
+    segs = [
+        Segment(list(pre_ids), supervised=False),
+        Segment([0] * num_video_tokens, supervised=False, kind="video"),
+        Segment(list(post_ids) + [text_vocab_size], supervised=False),
+    ]
+    video_pos = len(pre_ids)
+    return segs, video_pos
+
+
+@dataclasses.dataclass
+class TrainingSequence:
+    token_ids: np.ndarray
+    labels: np.ndarray
+    time_labels: np.ndarray
+    score_labels: np.ndarray
+    attn_mask: np.ndarray
+    video_pos: int
+
+
+def assemble_sequence(
+    segments: list[Segment],
+    max_len: int,
+    video_pos: int,
+    *,
+    text_vocab_size: int = 32000,
+    eos_id: int = 2,
+    supervise_eos: bool = True,
+) -> TrainingSequence:
+    """Segments -> fixed-length id + 3-stream label arrays.
+
+    Label semantics (reference trace_arch.py:430-447):
+      text stream: supervised text ids as-is, <sync> positions get
+        text_vocab_size, time/score/video positions IGNORE;
+      time stream: local ids only at supervised time positions;
+      score stream: local ids only at supervised score positions.
+    """
+    time_off = text_vocab_size + 1
+    score_off = time_off + 13
+
+    ids: list[int] = []
+    labels: list[int] = []
+    tlabels: list[int] = []
+    slabels: list[int] = []
+    for seg in segments:
+        for t in seg.ids:
+            ids.append(t)
+            if not seg.supervised:
+                labels.append(IGNORE_INDEX)
+                tlabels.append(IGNORE_INDEX)
+                slabels.append(IGNORE_INDEX)
+            elif seg.kind == "time":
+                labels.append(IGNORE_INDEX)
+                tlabels.append(t - time_off)
+                slabels.append(IGNORE_INDEX)
+            elif seg.kind == "score":
+                labels.append(IGNORE_INDEX)
+                tlabels.append(IGNORE_INDEX)
+                slabels.append(t - score_off)
+            else:
+                labels.append(t)  # text ids and the <sync>=vocab_size label
+                tlabels.append(IGNORE_INDEX)
+                slabels.append(IGNORE_INDEX)
+
+    if supervise_eos:
+        ids.append(eos_id)
+        labels.append(eos_id)
+        tlabels.append(IGNORE_INDEX)
+        slabels.append(IGNORE_INDEX)
+
+    n = len(ids)
+    if n > max_len:
+        import warnings
+
+        lost = sum(
+            1 for x in (labels, tlabels, slabels) for v in x[max_len:]
+            if v != IGNORE_INDEX
+        )
+        if lost:
+            warnings.warn(
+                f"sequence of {n} tokens truncated to {max_len}: "
+                f"{lost} supervised labels dropped"
+            )
+        ids, labels, tlabels, slabels = (
+            x[:max_len] for x in (ids, labels, tlabels, slabels)
+        )
+        n = max_len
+
+    pad = max_len - n
+    arr = lambda x, fill: np.asarray(x + [fill] * pad, np.int32)
+    return TrainingSequence(
+        token_ids=arr(ids, 0),
+        labels=arr(labels, IGNORE_INDEX),
+        time_labels=arr(tlabels, IGNORE_INDEX),
+        score_labels=arr(slabels, IGNORE_INDEX),
+        attn_mask=np.asarray([True] * n + [False] * pad),
+        video_pos=video_pos,
+    )
+
+
+class EventDataset:
+    """JSON-annotation dataset producing fixed-shape training samples.
+
+    Annotation format (reference dataset JSON, train_mt.py:777-784): each
+    record has ``video`` (or ``image``), ``conversations`` ([{from, value}]),
+    ``times`` ([[s, e], ...]) and ``scores`` ([[x], ...]).
+    Corrupt-media records fall back to a random substitute sample
+    (train_mt.py:793-811).
+    """
+
+    def __init__(
+        self,
+        data_path: str,
+        tokenizer: TextTokenizer,
+        *,
+        data_folder: str = "",
+        num_frames: int = 128,
+        num_video_tokens_per_frame: int = 14,
+        max_len: int = 4096,
+        sample_scheme: str = "uniform",
+        image_size: int = 336,
+        text_vocab_size: int = 32000,
+        template: str = "llama_2",
+        seed: int = 0,
+    ):
+        with open(data_path) as f:
+            self.records = json.load(f)
+        self.tokenizer = tokenizer
+        self.data_folder = data_folder
+        self.num_frames = num_frames
+        self.tokens_per_frame = num_video_tokens_per_frame
+        self.max_len = max_len
+        self.sample_scheme = sample_scheme
+        self.image_size = image_size
+        self.text_vocab_size = text_vocab_size
+        self.template = template
+        self.rng = np.random.default_rng(seed)
+        self._py_rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.records)
+
+    def modality_lengths(self) -> list[int]:
+        """Signed word-count lengths for modality-grouped batching
+        (reference: trace_trainer.py:62-87 uses sign to separate modalities)."""
+        out = []
+        for rec in self.records:
+            n = sum(len(c["value"].split()) for c in rec["conversations"])
+            out.append(n if "image" in rec else -n)
+        return out
+
+    def __getitem__(self, i: int) -> dict:
+        rec = self.records[i]
+        try:
+            return self._build(rec)
+        except Exception:
+            backup = self._py_rng.randrange(len(self.records))
+            return self[backup]
+
+    def _build(self, rec: dict) -> dict:
+        from trace_tpu.video.io import load_video_frames
+
+        video_path = os.path.join(self.data_folder, rec["video"])
+        frames_u8, frame_ts = load_video_frames(
+            video_path, self.num_frames, self.sample_scheme, rng=self.rng
+        )
+
+        times = snap_times_to_frames(rec.get("times", []), frame_ts)
+        scores = rec.get("scores", [])
+        instruction, caption_turns = self._parse_conversations(rec["conversations"])
+        events = [
+            {"timestamp": t, "score": s, "caption": c}
+            for t, s, c in zip(times, scores, caption_turns)
+        ]
+
+        n_video = self.num_frames * self.tokens_per_frame
+        prompt_segs, video_pos = build_prompt_segments(
+            instruction, self.tokenizer, n_video,
+            template=self.template, text_vocab_size=self.text_vocab_size,
+        )
+        resp_segs = event_response_segments(
+            events, self.tokenizer, text_vocab_size=self.text_vocab_size
+        )
+        seq = assemble_sequence(
+            prompt_segs + resp_segs, self.max_len, video_pos,
+            text_vocab_size=self.text_vocab_size,
+            eos_id=self.tokenizer.eos_token_id,
+        )
+
+        time_ids = np.stack(
+            [TIME_CODEC.encode_value(t[0]) for t in frame_ts]
+        ).astype(np.int32)
+        return {
+            "frames_u8": frames_u8,
+            "frame_time_ids": time_ids,
+            "token_ids": seq.token_ids,
+            "labels": seq.labels,
+            "time_labels": seq.time_labels,
+            "score_labels": seq.score_labels,
+            "attn_mask": seq.attn_mask,
+            "video_pos": np.int32(seq.video_pos),
+        }
+
+    @staticmethod
+    def _parse_conversations(conversations: Sequence[dict]) -> tuple[str, list[str]]:
+        """First human turn = instruction; captions extracted from gpt turns
+        (sentinel tags stripped — we rebuild the event stream from times/
+        scores/captions directly)."""
+        instruction = ""
+        captions: list[str] = []
+        for turn in conversations:
+            if turn["from"] == "human" and not instruction:
+                instruction = (
+                    turn["value"].replace("<video>", "").replace("<image>", "").strip()
+                )
+            elif turn["from"] == "gpt":
+                text = turn["value"]
+                for tag in ("<time>", "<score>", "<sync>"):
+                    text = text.replace(tag, "")
+                for cap in text.split("\n"):
+                    cap = cap.strip()
+                    if cap:
+                        captions.append(cap)
+        return instruction, captions
+
+
+def collate_batch(samples: list[dict], image_size: int = 336) -> dict:
+    """Stack per-sample dicts into the batch layout forward_train expects.
+
+    Frames stay uint8 on host; preprocessing happens on device inside the
+    train step so the host->device transfer is 4 bytes/pixel smaller.
+    """
+    return {
+        "frames_u8": np.stack([s["frames_u8"] for s in samples]),
+        "frame_time_ids": np.stack([s["frame_time_ids"] for s in samples]),
+        "token_ids": np.stack([s["token_ids"] for s in samples]),
+        "labels": np.stack([s["labels"] for s in samples]),
+        "time_labels": np.stack([s["time_labels"] for s in samples]),
+        "score_labels": np.stack([s["score_labels"] for s in samples]),
+        "attn_mask": np.stack([s["attn_mask"] for s in samples]),
+        "video_pos": np.asarray([s["video_pos"] for s in samples], np.int32),
+    }

@@ -1,0 +1,245 @@
+"""Training: optimizer groups, freeze policies, compiled train step.
+
+Re-implements the reference recipe (SURVEY.md §2.7; scripts/train/
+pretrain-128.sh, sft-128.sh; trace_trainer.py:152-230) on optax + GSPMD:
+
+* stage 1 ("pretrain"): freeze the LM backbone; train connector at
+  mm_projector_lr plus time/score/sync towers and aux heads; LM embed/head
+  frozen (train_mt.py:1014-1016, 1102-1106, 1153-1165)
+* stage 2 ("sft"): unfreeze backbone; also tune LM embed + lm_head
+* AdamW with LayerNorm/bias excluded from weight decay and a separate
+  mm_projector learning-rate group (trace_trainer.py:152-230)
+* cosine schedule with 3% warmup (pretrain-128.sh:49-64)
+* DP+TP sharding comes from runtime/mesh.py; rematerialization via
+  jax.checkpoint in the layer scan replaces HF gradient checkpointing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from trace_tpu.model.config import TraceConfig
+from trace_tpu.model.trace_model import forward_train
+from trace_tpu.video.preprocess import preprocess_frames
+
+
+# ---------------------------------------------------------------------------
+# Parameter grouping
+# ---------------------------------------------------------------------------
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
+def param_group(path_s: str, stage: str) -> str:
+    """'frozen' | 'projector' | 'base' for a param path under the stage recipe."""
+    if path_s.startswith("vision"):
+        return "frozen"  # CLIP tower is frozen in every stage (clip_encoder.py:27)
+    if path_s.startswith("connector"):
+        return "projector"
+    if path_s.startswith("towers"):
+        return "base"  # time/score/sync embeds: tuned in both stages
+    if path_s.startswith("decoder"):
+        tail = path_s.split("/", 1)[1]
+        if tail in ("time_head", "score_head", "sync_head"):
+            return "base"  # --tune_mm_embed_head (train_mt.py:1153-1159)
+        if stage == "pretrain":
+            return "frozen"  # backbone + embed + lm_head frozen in stage 1
+        return "base"
+    return "base"
+
+
+def param_labels(params: dict, stage: str) -> dict:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: param_group(_path_str(path), stage), params
+    )
+
+
+def _no_weight_decay(path_s: str) -> bool:
+    """Norm scales / biases excluded from decay (trace_trainer.py:171-176)."""
+    name = path_s.rsplit("/", 1)[-1]
+    if "norm" in name:
+        return True
+    return name in (
+        "bias", "ln_scale", "ln_bias", "class_embedding",
+        "bq", "bk", "bv", "bo", "b1", "b2",
+    )
+
+
+def decay_mask(params: dict) -> dict:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not _no_weight_decay(_path_str(path)), params
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedule
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TrainRecipe:
+    stage: str = "sft"                 # 'pretrain' | 'sft'
+    learning_rate: float = 5e-6        # sft-128.sh:49 (pretrain: 1e-3)
+    projector_lr: Optional[float] = None  # separate mm_projector_lr group
+    weight_decay: float = 0.0          # --weight_decay 0. in launch scripts
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    max_grad_norm: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+    @classmethod
+    def stage1(cls, total_steps: int) -> "TrainRecipe":
+        return cls(stage="pretrain", learning_rate=1e-3, total_steps=total_steps)
+
+    @classmethod
+    def stage2(cls, total_steps: int) -> "TrainRecipe":
+        return cls(stage="sft", learning_rate=5e-6, total_steps=total_steps)
+
+
+def cosine_schedule(recipe: TrainRecipe, lr: float) -> optax.Schedule:
+    warmup = max(1, int(recipe.warmup_ratio * recipe.total_steps))
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=lr,
+        warmup_steps=warmup,
+        decay_steps=recipe.total_steps,
+        end_value=0.0,
+    )
+
+
+def build_optimizer(params: dict, recipe: TrainRecipe) -> optax.GradientTransformation:
+    def adamw(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(recipe.max_grad_norm),
+            optax.adamw(
+                cosine_schedule(recipe, lr),
+                b1=recipe.b1, b2=recipe.b2, eps=recipe.eps,
+                weight_decay=recipe.weight_decay,
+                mask=decay_mask(params) if recipe.weight_decay else None,
+            ),
+        )
+
+    labels = param_labels(params, recipe.stage)
+    return optax.multi_transform(
+        {
+            "base": adamw(recipe.learning_rate),
+            "projector": adamw(recipe.projector_lr or recipe.learning_rate),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+def preprocess_batch_frames(frames_u8: jax.Array, config: TraceConfig) -> jax.Array:
+    """uint8 [B,T,H,W,3] -> normalized [B,T,S,S,3] on device, inside the step."""
+    B = frames_u8.shape[0]
+    fn = lambda f: preprocess_frames(
+        f, config.vision.image_size, aspect_ratio=config.image_aspect_ratio
+    )
+    return jax.vmap(fn)(frames_u8).astype(config.dtype)
+
+
+def make_train_step(config: TraceConfig, tx: optax.GradientTransformation, *, remat: bool = True):
+    """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics)."""
+
+    def train_step(params, opt_state, batch):
+        if "frames" not in batch:
+            batch = dict(batch)
+            batch["frames"] = preprocess_batch_frames(batch.pop("frames_u8"), config)
+
+        def loss_fn(p):
+            return forward_train(p, config, batch, remat=remat)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# High-level loop (host side)
+# ---------------------------------------------------------------------------
+
+def train_loop(
+    params: dict,
+    config: TraceConfig,
+    dataset,
+    recipe: TrainRecipe,
+    *,
+    batch_size: int = 2,
+    mesh=None,
+    log_every: int = 1,
+    checkpoint_dir: Optional[str] = None,
+    save_every: int = 2000,
+    resume: bool = True,
+):
+    """Minimal epoch loop with modality-grouped order, orbax checkpointing,
+    and auto-resume (reference: trainer auto-resume train_mt.py:1177-1180)."""
+    import numpy as np
+
+    from trace_tpu.data.dataset import collate_batch
+    from trace_tpu.data.sampler import modality_grouped_indices
+
+    tx = build_optimizer(params, recipe)
+    opt_state = jax.jit(tx.init)(params)
+    step_fn = jax.jit(make_train_step(config, tx), donate_argnums=(0, 1))
+
+    start_step = 0
+    ckpt = None
+    if checkpoint_dir:
+        from trace_tpu.checkpoint.io import CheckpointManager
+
+        ckpt = CheckpointManager(checkpoint_dir)
+        if resume:
+            restored = ckpt.restore_latest(params, opt_state)
+            if restored is not None:
+                params, opt_state, start_step = restored
+
+    if mesh is not None:
+        from trace_tpu.runtime.mesh import shard_params
+
+        params = shard_params(params, mesh)
+
+    lengths = dataset.modality_lengths() if hasattr(dataset, "modality_lengths") else None
+    order = modality_grouped_indices(
+        lengths, batch_size, seed=recipe.total_steps
+    ) if lengths else list(range(len(dataset)))
+
+    step = start_step
+    metrics = {}
+    for i in range(start_step * batch_size, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size:
+            break
+        batch = collate_batch([dataset[j] for j in idx])
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        step += 1
+        if log_every and step % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        if ckpt and step % save_every == 0:
+            ckpt.save(step, params, opt_state)
+        if step >= recipe.total_steps:
+            break
+
+    if ckpt:
+        ckpt.save(step, params, opt_state)
+    return params, opt_state, metrics
