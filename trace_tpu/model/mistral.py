@@ -147,8 +147,15 @@ def _layer(
     bias: jax.Array,
     cache_kv: Optional[Tuple[jax.Array, jax.Array]],
     cache_index: Optional[jax.Array],
+    flash_bias: Optional[jax.Array] = None,
 ):
-    """One decoder block. Returns (x_out, (new_k_cache, new_v_cache))."""
+    """One decoder block. Returns (x_out, (new_k_cache, new_v_cache)).
+
+    When ``flash_bias`` is given (a [B, T] additive padding row) and T > 1,
+    attention runs through the Pallas flash kernel over the current chunk
+    only — valid for fresh-cache prefill and cache-less forward, where the
+    chunk IS the full attendable context.
+    """
     B, T, D = x.shape
 
     h = rms_norm(x, lp["attn_norm"], config.rms_eps)
@@ -159,14 +166,23 @@ def _layer(
     k = apply_rope(k, cos, sin)
 
     if cache_kv is None:
-        k_all, v_all, new_cache = k, v, None
+        new_cache = None
     else:
         ck, cv = cache_kv  # [B, NKV, max_len, hd]
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
-        k_all, v_all, new_cache = ck, cv, (ck, cv)
+        new_cache = (ck, cv)
 
-    attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
+    if flash_bias is not None and T > 1:
+        from trace_tpu.kernels.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v, flash_bias, causal=True)
+    else:
+        if cache_kv is None:
+            k_all, v_all = k, v
+        else:
+            k_all, v_all = new_cache
+        attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
     attn_out = jnp.einsum(
         "bnth,nhd->btd", attn, lp["wo"], preferred_element_type=jnp.float32
     ).astype(x.dtype)
@@ -198,6 +214,7 @@ def decoder_forward(
     cache_mask: Optional[jax.Array] = None,  # [B, S] bool over cache slots
     causal: bool = True,
     remat: bool = False,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Run the decoder stack via lax.scan over stacked layer params.
 
@@ -211,7 +228,18 @@ def decoder_forward(
 
     cos, sin = rope_cos_sin(positions, config.head_dim, config.rope_theta)
 
-    if cache is None:
+    # Flash path (forward-only Pallas kernel): valid when the chunk is the
+    # full attendable context — cache-less forward, or prefill into an empty
+    # cache (generate's only T>1 cache call). Chunked multi-step prefill
+    # would need a cached-context kernel variant.
+    flash_ok = use_flash and T > 1 and causal
+    flash_bias = (
+        jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32) if flash_ok else None
+    )
+
+    if flash_ok:
+        bias = None  # never materialize the [B,1,T,S] score mask in HBM
+    elif cache is None:
         bias = jnp.where(attn_mask[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
         if causal:
             causal_m = jnp.tril(jnp.ones((T, T), jnp.bool_))
@@ -236,7 +264,9 @@ def decoder_forward(
         )
         bias = jnp.where(old_vis | new_vis, 0.0, NEG_INF).astype(jnp.float32)
 
-    layer_fn = partial(_layer, config=config, cos=cos, sin=sin, bias=bias)
+    layer_fn = partial(
+        _layer, config=config, cos=cos, sin=sin, bias=bias, flash_bias=flash_bias
+    )
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 

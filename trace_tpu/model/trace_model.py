@@ -70,24 +70,30 @@ def encode_video(
     config: TraceConfig,
     frames: jax.Array,          # [B, T, H, W, 3] CLIP-normalized
     frame_time_ids: jax.Array,  # [B, T, 6] local time-token ids per frame
+    *,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Frames -> interleaved visual+time token features [B, T*(S+6), D_lm].
 
     Reference flow (trace_arch.py:218-266): ViT over all frames, slot
     connector to S slots/frame, concat 6 time-token embeddings per frame
     (the per-frame <sync> is dropped), flatten time-major.
+
+    The vision tower is frozen in every training stage (clip_encoder.py:27,
+    @torch.no_grad at :41), so its output is stop_gradient'ed: the backward
+    pass never descends into the ViT.
     """
     B, T = frames.shape[:2]
     flat = frames.reshape((B * T,) + frames.shape[2:])
     chunk = config.vit_chunk_size
+    vit = lambda c: vit_forward(params["vision"], config.vision, c, use_flash=use_flash)
     if chunk and flat.shape[0] > chunk and flat.shape[0] % chunk == 0:
         chunks = flat.reshape((flat.shape[0] // chunk, chunk) + flat.shape[1:])
-        feats = jax.lax.map(
-            lambda c: vit_forward(params["vision"], config.vision, c), chunks
-        )
+        feats = jax.lax.map(vit, chunks)
         feats = feats.reshape((B * T,) + feats.shape[2:])
     else:
-        feats = vit_forward(params["vision"], config.vision, flat)  # [B*T, N, D]
+        feats = vit(flat)  # [B*T, N, D]
+    feats = jax.lax.stop_gradient(feats)
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
 
     _, conn_fwd = connector_lib.build_connector(config.mm_projector_type)
@@ -184,7 +190,9 @@ def encode_prefix_for_generation(
     video_pos: jax.Array,       # [B]
     frames: jax.Array,          # [B, T, H, W, 3]
     frame_time_ids: jax.Array,  # [B, T, 6]
+    *,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Inference prefix embeds: encode video + splice, jittable end-to-end."""
-    feats = encode_video(params, config, frames, frame_time_ids)
+    feats = encode_video(params, config, frames, frame_time_ids, use_flash=use_flash)
     return build_input_embeds(params, config, token_ids, feats, video_pos)

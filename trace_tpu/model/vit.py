@@ -121,7 +121,7 @@ def fold_normalization_into_patch_embed(
     return w_scaled.astype(patch_embed.dtype), b.astype(patch_embed.dtype)
 
 
-def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig) -> jax.Array:
+def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = False) -> jax.Array:
     c = config
     NH = c.num_heads
     B, T, D = x.shape
@@ -135,9 +135,14 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig) -> jax.Array:
     k = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
 
-    scores = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores * (HD ** -0.5), axis=-1).astype(x.dtype)
-    attn = jnp.einsum("bnts,bnsh->bnth", probs, v, preferred_element_type=jnp.float32)
+    if use_flash:
+        from trace_tpu.kernels.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v, causal=False)
+    else:
+        scores = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * (HD ** -0.5), axis=-1).astype(x.dtype)
+        attn = jnp.einsum("bnts,bnsh->bnth", probs, v, preferred_element_type=jnp.float32)
     attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
     attn = (jnp.einsum("btd,de->bte", attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]).astype(x.dtype)
     x = x + attn
@@ -155,6 +160,7 @@ def vit_forward(
                         # normalization was folded into patch_embed)
     *,
     patch_bias: jax.Array | None = None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Images -> patch features [B, num_patches, hidden] at the -2 tap.
 
@@ -181,7 +187,7 @@ def vit_forward(
     layers = jax.tree.map(lambda a: a[:num_run], params["layers"])
 
     def body(x, lp):
-        return _vit_layer(x, lp, c), None
+        return _vit_layer(x, lp, c, use_flash=use_flash), None
 
     x, _ = jax.lax.scan(body, x, layers)
 

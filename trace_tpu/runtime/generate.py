@@ -36,6 +36,11 @@ from trace_tpu.model.mistral import (
 PAD_OUTPUT_ID = -1  # emitted for steps after a sequence finished
 
 
+def default_use_flash() -> bool:
+    """Pallas flash attention on accelerators, XLA attention on CPU."""
+    return jax.default_backend() != "cpu"
+
+
 def head_mask_table(config: DecoderConfig) -> jnp.ndarray:
     """[3, combined_vocab] additive mask: 0 inside the head's slice, -inf out.
 
@@ -84,6 +89,7 @@ class GenerateOutput:
         "cache_len",
         "temperature",
         "eos_id",
+        "use_flash",
     ),
 )
 def generate_jit(
@@ -98,6 +104,7 @@ def generate_jit(
     cache_len: int,
     temperature: float = 0.0,
     eos_id: int = 2,
+    use_flash: bool = False,
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Prefill + FSM decode, fully compiled. Returns (tokens, num_generated)."""
@@ -114,6 +121,7 @@ def generate_jit(
         params, c, prefix_embeds, prefix_mask, positions,
         cache=cache, cache_index=jnp.int32(0),
         cache_mask=jnp.zeros((B, cache_len), jnp.bool_),
+        use_flash=use_flash,
     )
     cache_mask = jnp.pad(prefix_mask.astype(jnp.bool_), ((0, 0), (0, cache_len - P)))
 
@@ -207,6 +215,7 @@ def generate(
     eos_id: int = 2,
     seed: int = 0,
     pad_to_multiple: int = 128,
+    use_flash: Optional[bool] = None,
 ) -> GenerateOutput:
     """Host-side wrapper: left-pad/bucket the prefix, invoke the jitted loop.
 
@@ -220,13 +229,16 @@ def generate(
         prefix_embeds = jnp.pad(prefix_embeds, ((0, 0), (pad, 0), (0, 0)))
         prefix_mask = jnp.pad(prefix_mask, ((0, 0), (pad, 0)))
 
+    if use_flash is None:
+        use_flash = default_use_flash()
+
     cache_len = bucket + max_new_tokens
     heads = jnp.full((B,), initial_head, jnp.int32)
     tokens, num = generate_jit(
         params, config, prefix_embeds, prefix_mask.astype(jnp.bool_),
         combined_embed, heads,
         max_new_tokens=max_new_tokens, cache_len=cache_len,
-        temperature=temperature, eos_id=eos_id,
+        temperature=temperature, eos_id=eos_id, use_flash=use_flash,
         rng=jax.random.PRNGKey(seed),
     )
     return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))

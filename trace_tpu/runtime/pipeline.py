@@ -68,10 +68,14 @@ def expand_prompt_ids(
     return np.asarray(out, np.int32), vp
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _encode_prefix_jit(params, config: TraceConfig, token_ids, video_pos, frames, frame_time_ids):
+@partial(jax.jit, static_argnames=("config", "use_flash"))
+def _encode_prefix_jit(
+    params, config: TraceConfig, token_ids, video_pos, frames, frame_time_ids,
+    use_flash: bool = False,
+):
     return encode_prefix_for_generation(
-        params, config, token_ids, video_pos, frames, frame_time_ids
+        params, config, token_ids, video_pos, frames, frame_time_ids,
+        use_flash=use_flash,
     )
 
 
@@ -120,6 +124,7 @@ class TracePipeline:
             jnp.asarray([video_pos], jnp.int32),
             frames[None],
             jnp.asarray(time_ids)[None],
+            gen.default_use_flash(),
         )
         return prefix  # [1, P, D]
 
