@@ -1,0 +1,206 @@
+"""VTG evaluation driver: dvc / tvg / vhd over annotation JSONs.
+
+Replaces trace/eval/evaluate.py + eval.sh's three-process pipeline with one
+driver that (a) actually batches inference (the reference indexes vids[i]
+per chunk — effectively batch 1, eval/evaluate.py:296-302), and (b) chains
+reformat + metrics in-process through the shared structured decoder.
+
+Annotation format: {split}.caption_coco_format.json with an "annotations"
+list of {image_id, caption, id, (duration, segments...)} records.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+TASK_PROMPTS = {
+    "dvc": "dvc.txt",
+    "dvc-anet": "dvc-anet.txt",
+    "dvc-anet-ft": "dvc-anet-ft.txt",
+    "tvg": "mr.txt",
+    "vhd": "vhd.txt",
+}
+
+
+def load_task_prompt(task: str) -> str:
+    name = TASK_PROMPTS[task]
+    path = os.path.join(os.path.dirname(__file__), "..", "prompts", name)
+    with open(path) as f:
+        return f.read().strip()
+
+
+def load_annotations(anno_path: str, split: str, limit: Optional[int] = None) -> list[dict]:
+    file_path = os.path.join(anno_path, f"{split}.caption_coco_format.json")
+    with open(file_path) as f:
+        data = json.load(f)["annotations"]
+    return data[:limit] if limit else data
+
+
+def run_vtg_eval(
+    pipeline,
+    task: str,
+    anno_data: Sequence[dict],
+    video_path: str,
+    *,
+    num_frames: int = 128,
+    batch_size: int = 4,
+    max_new_tokens: int = 512,
+    prompt_text: Optional[str] = None,
+    progress: bool = True,
+) -> list[dict]:
+    """Batched inference over the annotation list -> fmt-style result records
+    [{'video', 'id', 'timestamps', 'scores', 'captions'}, ...]."""
+    from trace_tpu.video.io import load_video_frames
+
+    prompt = prompt_text or load_task_prompt(task)
+
+    items = []
+    for j in anno_data:
+        vname = j["image_id"].split("/")[-1]
+        vid_path = os.path.join(video_path, vname)
+        if not os.path.exists(vid_path):
+            continue
+        if task in ("tvg", "vhd"):
+            question = prompt.format(j["caption"].strip())
+        else:
+            question = prompt
+        items.append({"path": vid_path, "video": vname, "id": j["id"], "q": question})
+
+    results = []
+    t0 = time.time()
+    for start in range(0, len(items), batch_size):
+        chunk = items[start : start + batch_size]
+        frames_list, ts_list, goods = [], [], []
+        for it in chunk:
+            try:
+                frames, ts = load_video_frames(it["path"], num_frames)
+                frames_list.append(frames)
+                ts_list.append(ts)
+                goods.append(it)
+            except Exception as e:  # skip undecodable videos, like the reference
+                print(f"skipping {it['path']}: {e}")
+        if not goods:
+            continue
+        preds = pipeline.infer_events_batch(
+            frames_list, ts_list, [it["q"] for it in goods],
+            max_new_tokens=max_new_tokens,
+        )
+        for it, p in zip(goods, preds):
+            results.append({
+                "video": it["video"],
+                "id": it["id"],
+                "timestamps": p.timestamps,
+                "scores": p.scores,
+                "captions": p.captions,
+            })
+        if progress:
+            done = start + len(chunk)
+            rate = done / (time.time() - t0)
+            print(f"[{task}] {done}/{len(items)} videos ({rate:.2f} vid/s)")
+    return results
+
+
+def score_results(
+    task: str,
+    results: list[dict],
+    gt_file: str,
+) -> dict:
+    """fmt results -> reformat -> metric (the reformat_*/eval_* chain)."""
+    from trace_tpu.eval.reformat import reformat_dvc, reformat_tvg, reformat_vhd
+
+    with open(gt_file) as f:
+        gt = json.load(f)["annotations"]
+
+    if task.startswith("dvc"):
+        import tempfile
+
+        from trace_tpu.metrics.dvc import eval_with_files
+
+        refmt = reformat_dvc(results)
+        with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+            json.dump(refmt, f)
+            pred_file = f.name
+        return eval_with_files(pred_file, gt_file)
+
+    if task == "tvg":
+        from trace_tpu.metrics.tvg import evaluate_tvg
+
+        refmt = reformat_tvg(results)
+        gt_ts = {j["id"]: j["timestamp"] for j in gt}
+        return evaluate_tvg(refmt, gt_ts)
+
+    if task == "vhd":
+        from trace_tpu.metrics.vhd import eval_submission
+
+        gt_by_vid = {j["image_id"].split("/")[-1]: j for j in gt}
+        submission = reformat_vhd(results, gt_by_vid)
+        gt_list = [
+            {
+                "qid": j["id"],
+                "duration": j["duration"],
+                "relevant_windows": j.get("segments", []),
+                "relevant_clip_ids": j.get("relevant_clip_ids", []),
+                "saliency_scores": j.get("saliency_scores", []),
+            }
+            for j in gt
+        ]
+        return dict(eval_submission(submission, gt_list))
+
+    raise ValueError(f"unknown task {task}")
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="TRACE-TPU VTG evaluation")
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--vision-path", default=None)
+    ap.add_argument("--task", required=True, choices=list(TASK_PROMPTS))
+    ap.add_argument("--anno-path", required=True)
+    ap.add_argument("--video-path", required=True)
+    ap.add_argument("--split", default="test")
+    ap.add_argument("--output-dir", default="eval_out")
+    ap.add_argument("--num-frames", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--max-new-tokens", type=int, default=512)
+    ap.add_argument("--debug", action="store_true", help="first 10 samples")
+    ap.add_argument("--sample-num", type=int, default=0)
+    args = ap.parse_args()
+
+    from trace_tpu.runtime.pipeline import model_init
+
+    pipeline = model_init(args.model_path, vision_path=args.vision_path)
+    anno = load_annotations(args.anno_path, args.split,
+                            limit=10 if args.debug else None)
+    if args.sample_num > 0:
+        import random
+
+        anno = random.Random(42).sample(anno, args.sample_num)
+
+    results = run_vtg_eval(
+        pipeline, args.task, anno, args.video_path,
+        num_frames=args.num_frames, batch_size=args.batch_size,
+        max_new_tokens=args.max_new_tokens,
+    )
+
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    fmt_file = os.path.join(
+        args.output_dir, f"fmt_{args.task}_{args.split}_f{args.num_frames}.json"
+    )
+    with open(fmt_file, "w") as f:
+        json.dump(results, f)
+    print(f"wrote {fmt_file}")
+
+    gt_file = os.path.join(args.anno_path, f"{args.split}.caption_coco_format.json")
+    metrics = score_results(args.task, results, gt_file)
+    print(json.dumps(metrics, indent=2, default=float))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,34 +99,67 @@ class TracePipeline:
         instruction: str,
         template: str = "llama_2",
     ):
-        cfg = self.config
-        prompt = conv.build_trace_prompt(instruction, template_name=template)
-        spliced = splice_modal_tokens(prompt, self.tokenizer)
-
-        T = frames_u8.shape[0]
-        n_video_tokens = T * tokens_per_frame(cfg)
-        token_ids, video_pos = expand_prompt_ids(
-            spliced, n_video_tokens, cfg.decoder.vocab_size
+        prefix, mask = self._prepare_prefix_batch(
+            [frames_u8], [video_timestamps], [instruction], template
         )
+        return prefix  # [1, P, D]
 
-        time_ids = np.stack(
-            [TIME_CODEC.encode_value(ts[0] if isinstance(ts, (list, tuple)) else ts)
-             for ts in video_timestamps]
-        ).astype(np.int32)
+    def _prepare_prefix_batch(
+        self,
+        frames_u8_list: Sequence[np.ndarray],
+        timestamps_list: Sequence[Sequence],
+        instructions: Sequence[str],
+        template: str = "llama_2",
+    ):
+        """Batch of videos -> (prefix_embeds [B, L, D], mask [B, L]).
 
-        frames = _preprocess_jit(
-            jnp.asarray(frames_u8), cfg, cfg.vision.image_size, cfg.image_aspect_ratio
-        ).astype(cfg.dtype)
+        Prompts are LEFT-padded to a common length (content right-aligned, the
+        layout the batched decode loop expects); the per-sample video span
+        shifts with the padding.
+        """
+        cfg = self.config
+        per_sample = []
+        for frames_u8, ts, instruction in zip(frames_u8_list, timestamps_list, instructions):
+            prompt = conv.build_trace_prompt(instruction, template_name=template)
+            spliced = splice_modal_tokens(prompt, self.tokenizer)
+            T = frames_u8.shape[0]
+            n_video_tokens = T * tokens_per_frame(cfg)
+            token_ids, video_pos = expand_prompt_ids(
+                spliced, n_video_tokens, cfg.decoder.vocab_size
+            )
+            time_ids = np.stack(
+                [TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
+                 for t in ts]
+            ).astype(np.int32)
+            frames = _preprocess_jit(
+                jnp.asarray(frames_u8), cfg, cfg.vision.image_size,
+                cfg.image_aspect_ratio,
+            ).astype(cfg.dtype)
+            per_sample.append((token_ids, video_pos, frames, time_ids))
+
+        L = max(len(s[0]) for s in per_sample)
+        B = len(per_sample)
+        token_ids = np.zeros((B, L), np.int32)
+        video_pos = np.zeros((B,), np.int32)
+        mask = np.zeros((B, L), bool)
+        for b, (ids, vp, _, _) in enumerate(per_sample):
+            pad = L - len(ids)
+            token_ids[b, pad:] = ids
+            video_pos[b] = vp + pad
+            mask[b, pad:] = True
+
+        frames = jnp.stack([s[2] for s in per_sample])
+        time_ids = jnp.stack([jnp.asarray(s[3]) for s in per_sample])
 
         prefix = _encode_prefix_jit(
             self.params, cfg,
-            jnp.asarray(token_ids)[None],
-            jnp.asarray([video_pos], jnp.int32),
-            frames[None],
-            jnp.asarray(time_ids)[None],
+            jnp.asarray(token_ids),
+            jnp.asarray(video_pos),
+            frames,
+            time_ids,
             gen.default_use_flash(),
         )
-        return prefix  # [1, P, D]
+        return prefix, jnp.asarray(mask)
 
     def infer_events(
         self,
@@ -161,11 +194,33 @@ class TracePipeline:
         template: str = "llama_2",
         seed: int = 0,
     ) -> EventPredictions:
-        prefix = self._prepare_prefix(frames_u8, video_timestamps, instruction, template)
-        B, P, _ = prefix.shape
+        return self.infer_events_batch(
+            [frames_u8], [video_timestamps], [instruction],
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            template=template, seed=seed,
+        )[0]
+
+    def infer_events_batch(
+        self,
+        frames_u8_list: Sequence[np.ndarray],
+        timestamps_list: Sequence[Sequence],
+        instructions: Sequence[str],
+        *,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.0,
+        template: str = "llama_2",
+        seed: int = 0,
+    ) -> list[EventPredictions]:
+        """Batched multi-video event inference: one prefill + one decode loop
+        for the whole batch (weight reads amortize across videos — the main
+        single-chip throughput lever over the reference's batch-1 eval loop,
+        eval/evaluate.py:296-302)."""
+        prefix, mask = self._prepare_prefix_batch(
+            frames_u8_list, timestamps_list, instructions, template
+        )
         out = gen.generate(
             self.params["decoder"], self.config.decoder,
-            prefix, jnp.ones((B, P), bool),
+            prefix, mask,
             combined_embedding(self.params),
             max_new_tokens=max_new_tokens,
             initial_head=1,  # prompt ends with <sync> (inference.py:45,54)
@@ -173,12 +228,16 @@ class TracePipeline:
             eos_id=self.tokenizer.eos_token_id,
             seed=seed,
         )
-        ids = [int(t) for t in out.tokens[0] if t != gen.PAD_OUTPUT_ID]
-        return decode_event_stream(
-            ids,
-            lambda caption_ids: self.tokenizer.decode(caption_ids, skip_special_tokens=True),
-            text_vocab_size=self.config.decoder.vocab_size,
-        )
+        detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
+        results = []
+        for b in range(len(frames_u8_list)):
+            ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
+            results.append(
+                decode_event_stream(
+                    ids, detok, text_vocab_size=self.config.decoder.vocab_size
+                )
+            )
+        return results
 
 
 def model_init(
