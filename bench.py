@@ -46,7 +46,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
-    ap.add_argument("--videos", type=int, default=3)
+    ap.add_argument("--videos", type=int, default=2, help="timed batches")
+    ap.add_argument("--batch", type=int, default=4, help="videos per batch")
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
     args = ap.parse_args()
 
@@ -83,37 +84,46 @@ def main():
         "and end timestamp for each event, and describe each event with sentences."
     )
 
-    def one_video(seed: int):
-        frames = rng.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8)
-        ts = [[round(i * 1.7, 1)] for i in range(args.frames)]
+    B = args.batch
+
+    def one_batch(seed: int):
+        frames = [
+            rng.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8)
+            for _ in range(B)
+        ]
+        ts = [[[round(i * 1.7, 1)] for i in range(args.frames)]] * B
         t0 = time.perf_counter()
-        preds = pipe.infer_events_from_frames(
-            frames, ts, instruction,
+        preds = pipe.infer_events_batch(
+            frames, ts, [instruction] * B,
             max_new_tokens=args.decode_tokens, temperature=0.0, seed=seed,
         )
         return time.perf_counter() - t0, preds
 
     # warmup / compile
-    compile_t, _ = one_video(0)
+    compile_t, _ = one_batch(0)
 
     times = []
     for i in range(args.videos):
-        dt, _ = one_video(i + 1)
+        dt, _ = one_batch(i + 1)
         times.append(dt)
 
-    per_video = float(np.median(times))
-    videos_per_sec = 1.0 / per_video
+    per_batch = float(np.median(times))
+    per_video = per_batch / B
+    videos_per_sec = B / per_batch
 
-    # component timings
-    frames = rng.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8)
-    ts = [[round(i * 1.7, 1)] for i in range(args.frames)]
+    # component timings (per batch)
+    frames = [
+        rng.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8)
+        for _ in range(B)
+    ]
+    ts = [[[round(i * 1.7, 1)] for i in range(args.frames)]] * B
     t0 = time.perf_counter()
-    prefix = pipe._prepare_prefix(frames, ts, instruction)
+    prefix, _mask = pipe._prepare_prefix_batch(frames, ts, [instruction] * B)
     prefix.block_until_ready()
     encode_time = time.perf_counter() - t0
-    vit_fps = args.frames / encode_time
-    decode_time = per_video - encode_time
-    decode_tps = args.decode_tokens / max(decode_time, 1e-9)
+    vit_fps = B * args.frames / encode_time
+    decode_time = per_batch - encode_time
+    decode_tps = B * args.decode_tokens / max(decode_time, 1e-9)
 
     result = {
         "metric": "videos/sec/chip",
@@ -123,6 +133,7 @@ def main():
         "extra": {
             "device": str(dev),
             "frames": args.frames,
+            "batch": B,
             "decode_tokens": args.decode_tokens,
             "sec_per_video": round(per_video, 3),
             "vit_frames_per_sec": round(vit_fps, 1),

@@ -81,6 +81,75 @@ class GenerateOutput:
     num_generated: np.ndarray  # [B]
 
 
+# ---------------------------------------------------------------------------
+# trace-retrieval: constrain time-head decoding to input frame timestamps
+# ---------------------------------------------------------------------------
+# The released trace-retrieval variant forces predicted timestamps to align
+# with the input frame timestamps (reference README.md:20,59; learnable via
+# GT snapping at train_mt.py:842).  Decode-side, the allowed 6-char sequences
+# form a trie over the frames' fixed-width timestamps; the FSM below tracks,
+# per batch row, (a) how many chars of the current value were emitted and
+# (b) which frames still match that prefix — a branchless [B, T] mask.
+
+def _time_constraint_logit_mask(
+    config: DecoderConfig,
+    frame_chars: jax.Array,  # [B, T, 6] local time-char ids
+    alive: jax.Array,        # [B, T] frames matching the current prefix
+    value_pos: jax.Array,    # [B] chars emitted in the current value
+) -> jax.Array:
+    """Additive [B, combined_vocab] mask for the time head under the trie."""
+    B, T, W = frame_chars.shape
+    vt = config.time_vocab_size
+    pos = jnp.clip(value_pos, 0, W - 1)
+    chars_here = jnp.take_along_axis(
+        frame_chars, pos[:, None, None], axis=2
+    )[..., 0]  # [B, T]
+
+    local = jnp.arange(vt)  # [vt]
+    char_allowed = jnp.any(
+        alive[:, :, None] & (chars_here[:, :, None] == local[None, None, :]),
+        axis=1,
+    )  # [B, vt]
+    mid_value = (value_pos < W)[:, None]
+    char_allowed = char_allowed & mid_value
+
+    boundary = ((value_pos == 0) | (value_pos == W))[:, None]
+    allowed = char_allowed.at[:, 0].set(boundary[:, 0])   # <sync>
+    allowed = allowed.at[:, 1].set(boundary[:, 0])        # <sep>
+
+    time_mask = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+    full = jnp.zeros((B, config.combined_vocab_size), jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        full, time_mask, (0, config.vocab_size + 1)
+    )
+
+
+def _time_constraint_update(
+    config: DecoderConfig,
+    token: jax.Array,        # [B] emitted combined ids
+    frame_chars: jax.Array,  # [B, T, 6]
+    alive: jax.Array,        # [B, T]
+    value_pos: jax.Array,    # [B]
+):
+    """Advance the trie state on the emitted token."""
+    v = config.vocab_size
+    W = frame_chars.shape[2]
+    local = token - (v + 1)
+    in_time = (token >= v + 1) & (token < v + 1 + config.time_vocab_size)
+    is_char = in_time & (local >= 2)
+    is_reset = (~in_time) | (in_time & (local <= 1))  # sep/sync or leaving time
+
+    pos = jnp.clip(value_pos, 0, W - 1)
+    chars_here = jnp.take_along_axis(frame_chars, pos[:, None, None], axis=2)[..., 0]
+    new_alive = alive & (chars_here == local[:, None])
+    alive = jnp.where(is_char[:, None], new_alive, alive)
+    value_pos = jnp.where(is_char, value_pos + 1, value_pos)
+
+    alive = jnp.where(is_reset[:, None], jnp.ones_like(alive), alive)
+    value_pos = jnp.where(is_reset, 0, value_pos)
+    return alive, value_pos
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -90,6 +159,7 @@ class GenerateOutput:
         "temperature",
         "eos_id",
         "use_flash",
+        "constrain_time",
     ),
 )
 def generate_jit(
@@ -105,6 +175,8 @@ def generate_jit(
     temperature: float = 0.0,
     eos_id: int = 2,
     use_flash: bool = False,
+    constrain_time: bool = False,
+    frame_time_ids: Optional[jax.Array] = None,  # [B, T, 6] local ids
     rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Prefill + FSM decode, fully compiled. Returns (tokens, num_generated)."""
@@ -131,18 +203,36 @@ def generate_jit(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def pick_token(logits: jax.Array, head: jax.Array, key: jax.Array) -> jax.Array:
+    if constrain_time:
+        assert frame_time_ids is not None
+    else:
+        frame_time_ids = jnp.zeros((B, 1, 6), jnp.int32)
+    alive0 = jnp.ones(frame_time_ids.shape[:2], bool)
+    vpos0 = jnp.zeros((B,), jnp.int32)
+
+    def pick_token(logits, head, key, alive, vpos):
         masked = logits + mask_table[head]
+        if constrain_time:
+            # only perturbs the time block, which other heads mask anyway
+            masked = masked + _time_constraint_logit_mask(
+                c, frame_time_ids, alive, vpos
+            )
         if temperature > 0.0:
             return jax.random.categorical(key, masked / temperature, axis=-1)
         return jnp.argmax(masked, axis=-1)
 
+    def update_constraint(tok, alive, vpos):
+        if not constrain_time:
+            return alive, vpos
+        return _time_constraint_update(c, tok, frame_time_ids, alive, vpos)
+
     # --- first token from the prefill's last hidden state -----------------
     rng, k0 = jax.random.split(rng)
     logits0 = compute_logits(params, last_hidden)
-    tok0 = pick_token(logits0, initial_head, k0).astype(jnp.int32)
+    tok0 = pick_token(logits0, initial_head, k0, alive0, vpos0).astype(jnp.int32)
     done0 = tok0 == eos_id
     head0 = swap_heads(c, initial_head, tok0)
+    alive0, vpos0 = update_constraint(tok0, alive0, vpos0)
 
     tokens = jnp.full((B, max_new_tokens), PAD_OUTPUT_ID, jnp.int32)
     tokens = tokens.at[:, 0].set(jnp.where(done0, eos_id, tok0))
@@ -156,6 +246,8 @@ def generate_jit(
         cache_mask=cache_mask,
         done=done0,
         next_pos=next_pos,
+        alive=alive0,
+        vpos=vpos0,
         rng=rng,
     )
 
@@ -177,13 +269,14 @@ def generate_jit(
 
         rng, key = jax.random.split(s["rng"])
         logits = compute_logits(params, hidden[:, -1, :])
-        tok = pick_token(logits, s["head"], key).astype(jnp.int32)
+        tok = pick_token(logits, s["head"], key, s["alive"], s["vpos"]).astype(jnp.int32)
 
         newly_done = tok == eos_id
         emitted = jnp.where(s["done"], PAD_OUTPUT_ID, jnp.where(newly_done, eos_id, tok))
         tokens = s["tokens"].at[:, step].set(emitted)
         done = s["done"] | newly_done
         head = jnp.where(s["done"], s["head"], swap_heads(c, s["head"], tok))
+        alive, vpos = update_constraint(tok, s["alive"], s["vpos"])
 
         return dict(
             step=step + 1,
@@ -194,6 +287,8 @@ def generate_jit(
             cache_mask=cache_mask,
             done=done,
             next_pos=s["next_pos"],
+            alive=alive,
+            vpos=vpos,
             rng=rng,
         )
 
