@@ -110,9 +110,11 @@ def build_input_embeds(
     token_ids: jax.Array,      # [B, L] combined-space ids; video span = any id
     video_features: jax.Array,  # [B, Tv, D] from encode_video
     video_pos: jax.Array,       # [B] start index of the video span
+    table: Optional[jax.Array] = None,  # precomputed combined embedding
 ) -> jax.Array:
     """Gather token embeddings and scatter the video span. [B, L, D]."""
-    table = combined_embedding(params)
+    if table is None:
+        table = combined_embedding(params)
     embeds = table[jnp.clip(token_ids, 0, table.shape[0] - 1)]
 
     def put(row_embeds, row_feats, pos):
@@ -192,7 +194,8 @@ def encode_prefix_for_generation(
     frame_time_ids: jax.Array,  # [B, T, 6]
     *,
     use_flash: bool = False,
+    table: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Inference prefix embeds: encode video + splice, jittable end-to-end."""
     feats = encode_video(params, config, frames, frame_time_ids, use_flash=use_flash)
-    return build_input_embeds(params, config, token_ids, feats, video_pos)
+    return build_input_embeds(params, config, token_ids, feats, video_pos, table=table)

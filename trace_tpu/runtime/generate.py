@@ -311,6 +311,8 @@ def generate(
     seed: int = 0,
     pad_to_multiple: int = 128,
     use_flash: Optional[bool] = None,
+    constrain_time: bool = False,
+    frame_time_ids: Optional[jax.Array] = None,
 ) -> GenerateOutput:
     """Host-side wrapper: left-pad/bucket the prefix, invoke the jitted loop.
 
@@ -334,6 +336,7 @@ def generate(
         combined_embed, heads,
         max_new_tokens=max_new_tokens, cache_len=cache_len,
         temperature=temperature, eos_id=eos_id, use_flash=use_flash,
+        constrain_time=constrain_time, frame_time_ids=frame_time_ids,
         rng=jax.random.PRNGKey(seed),
     )
     return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))

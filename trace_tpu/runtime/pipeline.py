@@ -71,11 +71,11 @@ def expand_prompt_ids(
 @partial(jax.jit, static_argnames=("config", "use_flash"))
 def _encode_prefix_jit(
     params, config: TraceConfig, token_ids, video_pos, frames, frame_time_ids,
-    use_flash: bool = False,
+    table, use_flash: bool = False,
 ):
     return encode_prefix_for_generation(
         params, config, token_ids, video_pos, frames, frame_time_ids,
-        use_flash=use_flash,
+        use_flash=use_flash, table=table,
     )
 
 
@@ -86,11 +86,36 @@ def _preprocess_jit(frames_u8, config: TraceConfig, image_size: int, aspect_rati
 
 @dataclasses.dataclass
 class TracePipeline:
-    """Owns params + config + tokenizer; runs single/batched video inference."""
+    """Owns params + config + tokenizer; runs single/batched video inference.
+
+    At first use the combined [32027, D] input-embedding table is
+    materialized once and the now-redundant decoder embedding is dropped from
+    the inference param set — on a 16 GB chip next to 15 GB of bf16 weights,
+    that duplicated 262 MB decides whether batched decode fits.
+    """
 
     params: dict
     config: TraceConfig
     tokenizer: TextTokenizer
+    _combined: object = dataclasses.field(default=None, repr=False)
+    _encode_params: dict = dataclasses.field(default=None, repr=False)
+    _decoder_params: dict = dataclasses.field(default=None, repr=False)
+    _vision_host: dict = dataclasses.field(default=None, repr=False)
+
+    def _prepare_memory_layout(self):
+        if self._combined is not None:
+            return
+        self._combined = combined_embedding(self.params)
+        decoder = dict(self.params["decoder"])
+        decoder.pop("embed", None)
+        self._decoder_params = decoder
+        self._encode_params = {
+            k: v for k, v in self.params.items() if k != "decoder"
+        }
+        # drop the pipeline's own strong ref to the duplicated embed table
+        slim = dict(self.params)
+        slim["decoder"] = decoder
+        self.params = slim
 
     def _prepare_prefix(
         self,
@@ -117,6 +142,9 @@ class TracePipeline:
         layout the batched decode loop expects); the per-sample video span
         shifts with the padding.
         """
+        self._prepare_memory_layout()
+        if self._encode_params is None:
+            self._restore_vision()
         cfg = self.config
         per_sample = []
         for frames_u8, ts, instruction in zip(frames_u8_list, timestamps_list, instructions):
@@ -152,11 +180,12 @@ class TracePipeline:
         time_ids = jnp.stack([jnp.asarray(s[3]) for s in per_sample])
 
         prefix = _encode_prefix_jit(
-            self.params, cfg,
+            self._encode_params, cfg,
             jnp.asarray(token_ids),
             jnp.asarray(video_pos),
             frames,
             time_ids,
+            self._combined,
             gen.default_use_flash(),
         )
         return prefix, jnp.asarray(mask)
@@ -219,9 +248,9 @@ class TracePipeline:
             frames_u8_list, timestamps_list, instructions, template
         )
         out = gen.generate(
-            self.params["decoder"], self.config.decoder,
+            self._decoder_params, self.config.decoder,
             prefix, mask,
-            combined_embedding(self.params),
+            self._combined,
             max_new_tokens=max_new_tokens,
             initial_head=1,  # prompt ends with <sync> (inference.py:45,54)
             temperature=temperature,
@@ -237,6 +266,103 @@ class TracePipeline:
                     ids, detok, text_vocab_size=self.config.decoder.vocab_size
                 )
             )
+        return results
+
+    # ------------------------------------------------------------------
+    # Two-phase corpus inference
+    # ------------------------------------------------------------------
+    def _offload_vision(self):
+        """Move the (frozen, encode-only) vision tower + connector to host.
+
+        On a 16 GB chip the 7B bf16 decoder leaves no room for a batched KV
+        cache; parking the 0.6 GB CLIP tower between the encode and decode
+        phases is what makes batch>1 decoding fit.
+        """
+        if self._encode_params is None:
+            return
+        self._vision_host = jax.tree.map(np.asarray, {
+            "vision": self._encode_params["vision"],
+            "connector": self._encode_params["connector"],
+        })
+        self._encode_params = None  # frees the device buffers
+
+    def _restore_vision(self):
+        if self._encode_params is not None or self._combined is None:
+            return
+        restored = jax.tree.map(jnp.asarray, self._vision_host)
+        self._encode_params = {
+            "vision": restored["vision"],
+            "connector": restored["connector"],
+            "towers": self.params["towers"],
+        }
+
+    def infer_events_corpus(
+        self,
+        load_item,                      # idx -> (frames_u8, timestamps, instruction)
+        num_items: int,
+        *,
+        encode_batch: int = 2,
+        decode_batch: int = 4,
+        max_new_tokens: int = 512,
+        temperature: float = 0.0,
+        template: str = "llama_2",
+        seed: int = 0,
+        constrain_time: bool = False,
+    ) -> list[EventPredictions]:
+        """Encode every video first (vision tower resident), offload the
+        tower, then batch-decode with the freed HBM as KV cache."""
+        self._prepare_memory_layout()
+        self._restore_vision()
+
+        prefixes: list[np.ndarray] = []
+        masks: list[np.ndarray] = []
+        frame_ids: list[np.ndarray] = []
+        for start in range(0, num_items, encode_batch):
+            idxs = list(range(start, min(start + encode_batch, num_items)))
+            frames_l, ts_l, instr_l = [], [], []
+            for i in idxs:
+                f, ts, q = load_item(i)
+                frames_l.append(f)
+                ts_l.append(ts)
+                instr_l.append(q)
+            prefix, mask = self._prepare_prefix_batch(frames_l, ts_l, instr_l, template)
+            prefixes.extend(np.asarray(prefix))
+            masks.extend(np.asarray(mask))
+            for ts in ts_l:
+                frame_ids.append(np.stack([
+                    TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
+                    for t in ts
+                ]).astype(np.int32))
+
+        self._offload_vision()
+
+        detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
+        results: list[EventPredictions] = []
+        L = max(p.shape[0] for p in prefixes)
+        for start in range(0, num_items, decode_batch):
+            chunk = list(range(start, min(start + decode_batch, num_items)))
+            B = len(chunk)
+            prefix = np.zeros((B, L) + prefixes[0].shape[1:], prefixes[0].dtype)
+            mask = np.zeros((B, L), bool)
+            for b, i in enumerate(chunk):
+                pl = prefixes[i].shape[0]
+                prefix[b, L - pl :] = prefixes[i]
+                mask[b, L - pl :] = masks[i]
+            fids = jnp.asarray(np.stack([frame_ids[i] for i in chunk])) \
+                if constrain_time else None
+            out = gen.generate(
+                self._decoder_params, self.config.decoder,
+                jnp.asarray(prefix), jnp.asarray(mask),
+                self._combined,
+                max_new_tokens=max_new_tokens, initial_head=1,
+                temperature=temperature, eos_id=self.tokenizer.eos_token_id,
+                seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
+            )
+            for b in range(B):
+                ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
+                results.append(decode_event_stream(
+                    ids, detok, text_vocab_size=self.config.decoder.vocab_size
+                ))
         return results
 
 

@@ -68,6 +68,24 @@ def _probe_cv2(path: str) -> Tuple[int, float]:
     return duration, fps
 
 
+def probe(path: str) -> Tuple[int, float]:
+    """(frame_count, fps) of a video file."""
+    return _probe_cv2(path)
+
+
+def read_frames_at(path: str, indices: np.ndarray, use_native: bool = True) -> Frames:
+    """Random-access decode of specific frame indices (native fast path,
+    OpenCV fallback)."""
+    if use_native:
+        try:
+            from trace_tpu.native import videodec
+
+            return videodec.read_frames(path, indices)
+        except (ImportError, OSError):
+            pass
+    return _read_cv2(path, indices)
+
+
 def load_video_frames(
     path: str,
     num_frames: int = NUM_FRAMES,
