@@ -25,9 +25,34 @@ def infer_events(pipeline: TracePipeline, video_path: str, instruction: str, **k
 
 
 def infer(pipeline: TracePipeline, video_path: str, instruct: str, **kw):
-    """Plain captioning/QA: returns the first caption text (trace/__init__.py:23-75
-    analog — no event structure requested, text head only)."""
-    preds = pipeline.infer_events(video_path, instruct, **kw)
-    if preds.captions:
-        return preds.captions[0]
-    return ""
+    """Plain captioning/QA text (reference trace/__init__.py:23-75: no event
+    decoding — generation starts on the text head, free-form response)."""
+    from trace_tpu.video.io import load_video_frames
+
+    frames, ts = load_video_frames(video_path, pipeline.config.num_frames)
+    return pipeline.infer_text(frames, ts, instruct, **kw)
+
+
+def x_infer(
+    pipeline: TracePipeline,
+    video_path: str,
+    question: str,
+    mode: str = "vanilla",
+    **kw,
+):
+    """Instruction-templated QA (reference trace/__init__.py:78-87)."""
+    if mode == "mcqa":
+        instruction = (
+            f"{question}\nAnswer with the option's letter from the given "
+            "choices directly and only give the best option."
+        )
+    elif mode == "openend":
+        instruction = (
+            f"{question}\nAnswer the question using a single word or a short "
+            "phrase with multiple words."
+        )
+    elif mode == "vanilla":
+        instruction = question
+    else:
+        raise ValueError(f"unknown x_infer mode: {mode}")
+    return infer(pipeline, video_path, instruction, **kw)

@@ -268,6 +268,57 @@ class TracePipeline:
             )
         return results
 
+    def infer_text(
+        self,
+        frames_u8: np.ndarray,
+        video_timestamps: Sequence,
+        instruct: str,
+        *,
+        max_new_tokens: int = 1024,
+        temperature: float = 0.0,
+        template: str = "llama_2",
+        seed: int = 0,
+    ) -> str:
+        """Plain captioning / QA (reference trace/__init__.py infer: no
+        <sync> suffix, text head from the start, free-form text out)."""
+        self._prepare_memory_layout()
+        if self._encode_params is None:
+            self._restore_vision()
+        cfg = self.config
+        prompt = conv.build_trace_prompt(
+            instruct, template_name=template, append_sync=False
+        )
+        spliced = splice_modal_tokens(prompt, self.tokenizer)
+        T = frames_u8.shape[0]
+        token_ids, video_pos = expand_prompt_ids(
+            spliced, T * tokens_per_frame(cfg), cfg.decoder.vocab_size
+        )
+        time_ids = np.stack([
+            TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
+            for t in video_timestamps
+        ]).astype(np.int32)
+        frames = _preprocess_jit(
+            jnp.asarray(frames_u8), cfg, cfg.vision.image_size, cfg.image_aspect_ratio
+        ).astype(cfg.dtype)
+        prefix = _encode_prefix_jit(
+            self._encode_params, cfg,
+            jnp.asarray(token_ids)[None], jnp.asarray([video_pos], jnp.int32),
+            frames[None], jnp.asarray(time_ids)[None],
+            self._combined, gen.default_use_flash(),
+        )
+        out = gen.generate(
+            self._decoder_params, cfg.decoder,
+            prefix, jnp.ones((1, prefix.shape[1]), bool), self._combined,
+            max_new_tokens=max_new_tokens, initial_head=0,
+            temperature=temperature, eos_id=self.tokenizer.eos_token_id,
+            seed=seed,
+        )
+        text_ids = [
+            int(t) for t in out.tokens[0]
+            if 0 <= int(t) < cfg.decoder.vocab_size
+        ]
+        return self.tokenizer.decode(text_ids, skip_special_tokens=True).strip()
+
     # ------------------------------------------------------------------
     # Two-phase corpus inference
     # ------------------------------------------------------------------
