@@ -113,8 +113,13 @@ def main():
             run_corpus(B)  # compile + warmup at this batch size
             break
         except Exception as e:
-            print(f"decode_batch={B} failed ({type(e).__name__}); halving", flush=True)
+            print(
+                f"decode_batch={B} failed ({type(e).__name__}: {str(e)[:160]}); halving",
+                flush=True,
+            )
             B = B // 2
+    if B < 1:
+        raise RuntimeError("no decode batch size fits")
     compile_t = time.perf_counter() - t0
 
     t0 = time.perf_counter()

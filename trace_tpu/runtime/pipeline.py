@@ -331,11 +331,18 @@ class TracePipeline:
         """
         if self._encode_params is None:
             return
-        self._vision_host = jax.tree.map(np.asarray, {
-            "vision": self._encode_params["vision"],
-            "connector": self._encode_params["connector"],
-        })
-        self._encode_params = None  # frees the device buffers
+        if self._vision_host is None:
+            self._vision_host = jax.tree.map(np.asarray, {
+                "vision": self._encode_params["vision"],
+                "connector": self._encode_params["connector"],
+            })
+        self._encode_params = None
+        # self.params must drop its references too, or the device buffers
+        # stay live and the offload frees nothing
+        self.params = {
+            k: v for k, v in self.params.items()
+            if k not in ("vision", "connector")
+        }
 
     def _restore_vision(self):
         if self._encode_params is not None or self._combined is None:
@@ -346,6 +353,7 @@ class TracePipeline:
             "connector": restored["connector"],
             "towers": self.params["towers"],
         }
+        self.params = {**self.params, **restored}
 
     def infer_events_corpus(
         self,

@@ -104,6 +104,8 @@ def load_video_frames(
         return _load_image_dir(path, num_frames)
     if path.endswith(".npy"):
         return _load_npy(path, num_frames)
+    if path.lower().endswith((".jpg", ".jpeg", ".png", ".bmp", ".webp")):
+        return load_image_as_video(path, num_frames)
 
     if path.endswith(".gif"):
         import imageio
@@ -132,6 +134,17 @@ def load_video_frames(
             pass
     frames = _read_cv2(path, indices)
     return frames, frame_timestamps(indices, fps)
+
+
+def load_image_as_video(path: str, num_frames: int = NUM_FRAMES) -> Tuple[Frames, Timestamps]:
+    """Image modality: replicate the image across the frame axis with zero
+    timestamps (reference: trace_arch.py:221 expand, train_mt.py:838
+    video_timestamps=[[0]]*num_frames)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"))
+    frames = np.broadcast_to(img, (num_frames,) + img.shape).copy()
+    return frames, [[0.0]] * num_frames
 
 
 def _load_image_dir(path: str, num_frames: int) -> Tuple[Frames, Timestamps]:
