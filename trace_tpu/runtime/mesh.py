@@ -87,18 +87,29 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def param_spec(path, leaf) -> P:
+def param_spec(path, leaf, mesh: Optional[Mesh] = None) -> P:
     s = _path_str(path)
     for key, spec in _PARAM_RULES:
         if s.endswith(key) or key in s:
-            if len(spec) == getattr(leaf, "ndim", 0):
+            if len(spec) != getattr(leaf, "ndim", 0):
+                continue
+            if mesh is None:
                 return spec
+            # drop axes whose dim is not divisible by the mesh axis size
+            # (tiny test models replicate where the 7B shards)
+            fixed = tuple(
+                name
+                if name is not None and leaf.shape[i] % mesh.shape[name] == 0
+                else None
+                for i, name in enumerate(spec)
+            )
+            return P(*fixed)
     return P()  # replicate
 
 
 def param_shardings(params: dict, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf, mesh)), params
     )
 
 
