@@ -189,6 +189,7 @@ def train_loop(
     checkpoint_dir: Optional[str] = None,
     save_every: int = 2000,
     resume: bool = True,
+    metrics_path: Optional[str] = None,
 ):
     """Minimal epoch loop with modality-grouped order, orbax checkpointing,
     and auto-resume (reference: trainer auto-resume train_mt.py:1177-1180)."""
@@ -222,6 +223,12 @@ def train_loop(
         lengths, batch_size, seed=recipe.total_steps
     ) if lengths else list(range(len(dataset)))
 
+    mlog = None
+    if metrics_path:
+        from trace_tpu.utils.profiling import MetricsLogger
+
+        mlog = MetricsLogger(metrics_path)
+
     step = start_step
     metrics = {}
     for i in range(start_step * batch_size, len(order), batch_size):
@@ -235,6 +242,8 @@ def train_loop(
         if log_every and step % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if mlog:
+                mlog.log(step, m)
         if ckpt and step % save_every == 0:
             ckpt.save(step, params, opt_state)
         if step >= recipe.total_steps:
