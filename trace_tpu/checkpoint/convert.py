@@ -103,31 +103,42 @@ def convert_mistral_decoder(
             np.stack([f(get(fmt.format(i=i))) for i in range(L)]), dtype
         )
 
+    layers = {
+        "attn_norm": stack(prefix + "layers.{i}.input_layernorm.weight", lambda w: w),
+        "mlp_norm": stack(prefix + "layers.{i}.post_attention_layernorm.weight", lambda w: w),
+        "wq": stack(
+            prefix + "layers.{i}.self_attn.q_proj.weight",
+            lambda w: w.T.reshape(D, NH, HD),
+        ),
+        "wk": stack(
+            prefix + "layers.{i}.self_attn.k_proj.weight",
+            lambda w: w.T.reshape(D, NKV, HD),
+        ),
+        "wv": stack(
+            prefix + "layers.{i}.self_attn.v_proj.weight",
+            lambda w: w.T.reshape(D, NKV, HD),
+        ),
+        "wo": stack(
+            prefix + "layers.{i}.self_attn.o_proj.weight",
+            lambda w: w.T.reshape(NH, HD, D),
+        ),
+        "w_gate": stack(prefix + "layers.{i}.mlp.gate_proj.weight", lambda w: w.T),
+        "w_up": stack(prefix + "layers.{i}.mlp.up_proj.weight", lambda w: w.T),
+        "w_down": stack(prefix + "layers.{i}.mlp.down_proj.weight", lambda w: w.T),
+    }
+    if c.attn_qkv_bias:  # qwen2-style backbones
+        layers["bq"] = stack(
+            prefix + "layers.{i}.self_attn.q_proj.bias", lambda b: b.reshape(NH, HD)
+        )
+        layers["bk"] = stack(
+            prefix + "layers.{i}.self_attn.k_proj.bias", lambda b: b.reshape(NKV, HD)
+        )
+        layers["bv"] = stack(
+            prefix + "layers.{i}.self_attn.v_proj.bias", lambda b: b.reshape(NKV, HD)
+        )
     params = {
         "embed": jnp.asarray(get(f"{prefix}embed_tokens.weight")[: c.vocab_size], dtype),
-        "layers": {
-            "attn_norm": stack(prefix + "layers.{i}.input_layernorm.weight", lambda w: w),
-            "mlp_norm": stack(prefix + "layers.{i}.post_attention_layernorm.weight", lambda w: w),
-            "wq": stack(
-                prefix + "layers.{i}.self_attn.q_proj.weight",
-                lambda w: w.T.reshape(D, NH, HD),
-            ),
-            "wk": stack(
-                prefix + "layers.{i}.self_attn.k_proj.weight",
-                lambda w: w.T.reshape(D, NKV, HD),
-            ),
-            "wv": stack(
-                prefix + "layers.{i}.self_attn.v_proj.weight",
-                lambda w: w.T.reshape(D, NKV, HD),
-            ),
-            "wo": stack(
-                prefix + "layers.{i}.self_attn.o_proj.weight",
-                lambda w: w.T.reshape(NH, HD, D),
-            ),
-            "w_gate": stack(prefix + "layers.{i}.mlp.gate_proj.weight", lambda w: w.T),
-            "w_up": stack(prefix + "layers.{i}.mlp.up_proj.weight", lambda w: w.T),
-            "w_down": stack(prefix + "layers.{i}.mlp.down_proj.weight", lambda w: w.T),
-        },
+        "layers": layers,
         "final_norm": jnp.asarray(get(f"{prefix}norm.weight"), dtype),
         "lm_head": jnp.asarray(get("lm_head.weight")[: c.vocab_size].T, dtype),
     }
@@ -261,6 +272,7 @@ def trace_config_from_hf(hf_cfg: dict, **overrides) -> TraceConfig:
         rms_eps=hf_cfg.get("rms_norm_eps", 1e-5),
         time_vocab_size=hf_cfg.get("time_vocab_size", 13),
         score_vocab_size=hf_cfg.get("score_vocab_size", 13),
+        attn_qkv_bias="qwen2" in hf_cfg.get("model_type", ""),
     )
     return TraceConfig(
         decoder=dec,

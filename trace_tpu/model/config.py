@@ -37,10 +37,35 @@ class DecoderConfig:
     # Mistral v0.1 sliding_window=4096 never binds at TRACE's <=4096 context;
     # attention is plain causal here (documented divergence).
     max_seq_len: int = 4096
+    # qwen2-style attention q/k/v biases (train_mt.py:948-1011 selects among
+    # vicuna/qwen2/mistral backbones; vicuna/llama = MHA, qwen2 adds biases)
+    attn_qkv_bias: bool = False
 
     @property
     def combined_vocab_size(self) -> int:
         return self.vocab_size + 1 + self.time_vocab_size + self.score_vocab_size
+
+    @classmethod
+    def mistral_7b(cls) -> "DecoderConfig":
+        return cls()
+
+    @classmethod
+    def vicuna_7b(cls) -> "DecoderConfig":
+        """Llama-2-7b-class backbone: MHA (32 kv heads), 11008 FFN, 32k vocab."""
+        return cls(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+            rope_theta=10000.0, rms_eps=1e-5,
+        )
+
+    @classmethod
+    def qwen2_7b(cls) -> "DecoderConfig":
+        """Qwen2-7B-class backbone: GQA 28/4, QKV biases, larger vocab."""
+        return cls(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128,
+            rope_theta=1000000.0, rms_eps=1e-6, attn_qkv_bias=True,
+        )
 
     @classmethod
     def tiny(cls, vocab_size: int = 384) -> "DecoderConfig":

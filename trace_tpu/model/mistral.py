@@ -55,19 +55,24 @@ def init_decoder_params(config: DecoderConfig, key: jax.Array, dtype=jnp.float32
     def rnd(key, shape, scale=s):
         return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
 
+    layers = {
+        "attn_norm": jnp.ones((L, D), dtype),
+        "mlp_norm": jnp.ones((L, D), dtype),
+        "wq": rnd(k[1], (L, D, NH, HD)),
+        "wk": rnd(k[2], (L, D, NKV, HD)),
+        "wv": rnd(k[3], (L, D, NKV, HD)),
+        "wo": rnd(k[4], (L, NH, HD, D)),
+        "w_gate": rnd(k[5], (L, D, I)),
+        "w_up": rnd(k[6], (L, D, I)),
+        "w_down": rnd(k[7], (L, I, D)),
+    }
+    if c.attn_qkv_bias:
+        layers["bq"] = jnp.zeros((L, NH, HD), dtype)
+        layers["bk"] = jnp.zeros((L, NKV, HD), dtype)
+        layers["bv"] = jnp.zeros((L, NKV, HD), dtype)
     return {
         "embed": rnd(k[0], (c.vocab_size, D)),
-        "layers": {
-            "attn_norm": jnp.ones((L, D), dtype),
-            "mlp_norm": jnp.ones((L, D), dtype),
-            "wq": rnd(k[1], (L, D, NH, HD)),
-            "wk": rnd(k[2], (L, D, NKV, HD)),
-            "wv": rnd(k[3], (L, D, NKV, HD)),
-            "wo": rnd(k[4], (L, NH, HD, D)),
-            "w_gate": rnd(k[5], (L, D, I)),
-            "w_up": rnd(k[6], (L, D, I)),
-            "w_down": rnd(k[7], (L, I, D)),
-        },
+        "layers": layers,
         "final_norm": jnp.ones((D,), dtype),
         "lm_head": rnd(k[8], (D, c.vocab_size)),
         "sync_head": rnd(k[9], (D, 1)),
@@ -162,6 +167,10 @@ def _layer(
     q = jnp.einsum("btd,dnh->bnth", h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
     k = jnp.einsum("btd,dnh->bnth", h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
     v = jnp.einsum("btd,dnh->bnth", h, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if config.attn_qkv_bias:
+        q = q + lp["bq"][None, :, None, :]
+        k = k + lp["bk"][None, :, None, :]
+        v = v + lp["bv"][None, :, None, :]
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
