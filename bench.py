@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--videos", type=int, default=2, help="timed batches")
     ap.add_argument("--batch", type=int, default=4, help="videos per batch")
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
+    ap.add_argument("--quant", choices=["bf16", "int8"], default="int8",
+                    help="int8 = weight-only quantized serving config "
+                         "(see BENCH_NOTES.md quality caveat)")
     args = ap.parse_args()
 
     import jax
@@ -73,6 +76,10 @@ def main():
 
     dev = jax.devices()[0]
     params = zero_params(config)
+    if args.quant == "int8" and not args.small:
+        from trace_tpu.model.quantize import quantize_trace_params
+
+        params = quantize_trace_params(params)
     tok = ByteTokenizer()
     pipe = TracePipeline(params=params, config=config, tokenizer=tok)
     del params  # pipeline dedupes the embed table; drop the outer reference
@@ -156,7 +163,7 @@ def main():
             "decode_tok_per_sec": round(decode_tps, 1),
             "prefix_tokens": int(prefix.shape[1]),
             "compile_sec": round(compile_t, 1),
-            "config": "tiny" if args.small else "trace-7b-bf16",
+            "config": "tiny" if args.small else f"trace-7b-{args.quant}",
             "baseline_estimate": "V100 eval loop ~0.33 videos/s (see BENCH_NOTES.md)",
         },
     }

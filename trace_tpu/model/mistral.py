@@ -163,10 +163,12 @@ def _layer(
     """
     B, T, D = x.shape
 
+    from trace_tpu.model.quantize import dequantize as dq
+
     h = rms_norm(x, lp["attn_norm"], config.rms_eps)
-    q = jnp.einsum("btd,dnh->bnth", h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.einsum("btd,dnh->bnth", h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
-    v = jnp.einsum("btd,dnh->bnth", h, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q = jnp.einsum("btd,dnh->bnth", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    k = jnp.einsum("btd,dnh->bnth", h, dq(lp["wk"], x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    v = jnp.einsum("btd,dnh->bnth", h, dq(lp["wv"], x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     if config.attn_qkv_bias:
         q = q + lp["bq"][None, :, None, :]
         k = k + lp["bk"][None, :, None, :]
@@ -193,16 +195,16 @@ def _layer(
             k_all, v_all = new_cache
         attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
     attn_out = jnp.einsum(
-        "bnth,nhd->btd", attn, lp["wo"], preferred_element_type=jnp.float32
+        "bnth,nhd->btd", attn, dq(lp["wo"], x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
     x = x + attn_out
 
     h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
-    gate = jnp.einsum("btd,di->bti", h, lp["w_gate"], preferred_element_type=jnp.float32)
-    up = jnp.einsum("btd,di->bti", h, lp["w_up"], preferred_element_type=jnp.float32)
+    gate = jnp.einsum("btd,di->bti", h, dq(lp["w_gate"], x.dtype), preferred_element_type=jnp.float32)
+    up = jnp.einsum("btd,di->bti", h, dq(lp["w_up"], x.dtype), preferred_element_type=jnp.float32)
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     mlp_out = jnp.einsum(
-        "bti,id->btd", act, lp["w_down"], preferred_element_type=jnp.float32
+        "bti,id->btd", act, dq(lp["w_down"], x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
     return x + mlp_out, new_cache
 
@@ -307,8 +309,10 @@ def compute_logits(params: dict, hidden: jax.Array) -> jax.Array:
     Concatenation order text|sync|time|score matches the reference
     (trace_mistral.py:191-204, 246).
     """
+    from trace_tpu.model.quantize import dequantize
+
     h = hidden
-    text = jnp.einsum("...d,dv->...v", h, params["lm_head"], preferred_element_type=jnp.float32)
+    text = jnp.einsum("...d,dv->...v", h, dequantize(params["lm_head"], h.dtype), preferred_element_type=jnp.float32)
     sync = jnp.einsum("...d,dv->...v", h, params["sync_head"], preferred_element_type=jnp.float32)
     time = jnp.einsum("...d,dv->...v", h, params["time_head"], preferred_element_type=jnp.float32)
     score = jnp.einsum("...d,dv->...v", h, params["score_head"], preferred_element_type=jnp.float32)

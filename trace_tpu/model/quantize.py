@@ -1,0 +1,100 @@
+"""Weight-only int8 quantization for the serving path.
+
+The 16 GB v5e cannot hold the 7B bf16 decoder (14.5 GB) next to a batched KV
+cache — measured: the chip is full at ~15.1 GB live and even host transfers
+start failing.  Per-output-channel symmetric int8 on the decoder matmul
+weights cuts them to ~3.6 GB, freeing ~7 GB for KV cache (batch 8-16 decode)
+and halving the weight bytes each memory-bound decode step must read.
+
+This replaces the reference's bitsandbytes 4/8-bit load option
+(model/builder.py:39-48) with a TPU layout: weights stay in their einsum
+shapes, quantized along every axis except the output axis, so dequantization
+is one broadcast multiply that XLA fuses into the consuming matmul.
+
+Quality note: per-channel weight-only int8 on 7B LMs is near-lossless in
+published practice, but logit-level validation against the released TRACE
+checkpoints has not been run in this environment (no weights available);
+treat `--quant int8` as the high-throughput serving mode pending that check.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# weight leaf name -> output axis (per-leaf scale axis); all other axes fold
+# into the quantization group. Layer weights carry a leading stacked L axis
+# which is always per-layer (part of the scale shape).
+_DECODER_RULES = {
+    "wq": (3,),      # [L, D, NH, hd] -> scale [L, 1, NH, hd]? No: out = (NH, hd)
+    "wk": (3,),
+    "wv": (3,),
+    "wo": (3,),      # [L, NH, hd, D] -> out axis D
+    "w_gate": (2,),  # [L, D, I] -> I
+    "w_up": (2,),
+    "w_down": (2,),  # [L, I, D] -> D
+}
+
+
+def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...]):
+    """Symmetric int8 over the given axes; scale keeps the other axes."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.astype(jnp.bfloat16)}
+
+
+def is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
+
+
+def dequantize(leaf, dtype=jnp.bfloat16) -> jax.Array:
+    if is_quantized(leaf):
+        return (leaf["q"].astype(jnp.bfloat16) * leaf["s"]).astype(dtype)
+    return leaf
+
+
+def quantize_decoder_params(params: dict) -> dict:
+    """int8-quantize the decoder's large matmul weights.
+
+    Layer stacks quantize per (layer, output-channel); attention projections
+    reduce over the input dim; heads and the embedding stay bf16 (gathers and
+    fp32 logits want full precision rows).
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+
+    # reduce over the *input* dims; keep (L, out...) in the scale
+    layers["wq"] = _quantize_axis(layers["wq"], (1,))      # [L, D, NH, hd]
+    layers["wk"] = _quantize_axis(layers["wk"], (1,))
+    layers["wv"] = _quantize_axis(layers["wv"], (1,))
+    layers["wo"] = _quantize_axis(layers["wo"], (1, 2))    # [L, NH, hd, D]
+    layers["w_gate"] = _quantize_axis(layers["w_gate"], (1,))  # [L, D, I]
+    layers["w_up"] = _quantize_axis(layers["w_up"], (1,))
+    layers["w_down"] = _quantize_axis(layers["w_down"], (1,))  # [L, I, D]
+
+    out["layers"] = layers
+    out["lm_head"] = _quantize_axis(params["lm_head"], (0,))  # [D, V]
+    return out
+
+
+def quantize_vision_params(params: dict) -> dict:
+    """int8-quantize the CLIP encoder's stacked linear weights."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "fc1", "fc2"):
+        layers[name] = _quantize_axis(layers[name], (1,))  # [L, in, out]
+    out["layers"] = layers
+    out["patch_embed"] = _quantize_axis(params["patch_embed"], (0,))
+    return out
+
+
+def quantize_trace_params(params: dict, *, vision: bool = True) -> dict:
+    out = dict(params)
+    out["decoder"] = quantize_decoder_params(params["decoder"])
+    if vision and "vision" in params:
+        out["vision"] = quantize_vision_params(params["vision"])
+    return out

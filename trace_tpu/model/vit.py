@@ -122,15 +122,17 @@ def fold_normalization_into_patch_embed(
 
 
 def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = False) -> jax.Array:
+    from trace_tpu.model.quantize import dequantize as dq
+
     c = config
     NH = c.num_heads
     B, T, D = x.shape
     HD = D // NH
 
     h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
-    q = (jnp.einsum("btd,de->bte", h, lp["wq"], preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)
-    k = (jnp.einsum("btd,de->bte", h, lp["wk"], preferred_element_type=jnp.float32) + lp["bk"]).astype(x.dtype)
-    v = (jnp.einsum("btd,de->bte", h, lp["wv"], preferred_element_type=jnp.float32) + lp["bv"]).astype(x.dtype)
+    q = (jnp.einsum("btd,de->bte", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)
+    k = (jnp.einsum("btd,de->bte", h, dq(lp["wk"], x.dtype), preferred_element_type=jnp.float32) + lp["bk"]).astype(x.dtype)
+    v = (jnp.einsum("btd,de->bte", h, dq(lp["wv"], x.dtype), preferred_element_type=jnp.float32) + lp["bv"]).astype(x.dtype)
     q = q.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
@@ -144,12 +146,12 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = F
         probs = jax.nn.softmax(scores * (HD ** -0.5), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bnts,bnsh->bnth", probs, v, preferred_element_type=jnp.float32)
     attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
-    attn = (jnp.einsum("btd,de->bte", attn, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]).astype(x.dtype)
+    attn = (jnp.einsum("btd,de->bte", attn, dq(lp["wo"], x.dtype), preferred_element_type=jnp.float32) + lp["bo"]).astype(x.dtype)
     x = x + attn
 
     h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], c.layer_eps)
-    h1 = (jnp.einsum("btd,di->bti", h, lp["fc1"], preferred_element_type=jnp.float32) + lp["b1"]).astype(x.dtype)
-    h2 = (jnp.einsum("bti,id->btd", quick_gelu(h1), lp["fc2"], preferred_element_type=jnp.float32) + lp["b2"]).astype(x.dtype)
+    h1 = (jnp.einsum("btd,di->bti", h, dq(lp["fc1"], x.dtype), preferred_element_type=jnp.float32) + lp["b1"]).astype(x.dtype)
+    h2 = (jnp.einsum("bti,id->btd", quick_gelu(h1), dq(lp["fc2"], x.dtype), preferred_element_type=jnp.float32) + lp["b2"]).astype(x.dtype)
     return x + h2
 
 
@@ -170,13 +172,16 @@ def vit_forward(
     c = config
     B = images.shape[0]
 
-    patches = extract_patches(images, c.patch_size).astype(params["patch_embed"].dtype)
+    from trace_tpu.model.quantize import dequantize as dq
+
+    patch_w = dq(params["patch_embed"], images.dtype if images.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32)
+    patches = extract_patches(images, c.patch_size).astype(patch_w.dtype)
     embeds = jnp.einsum(
-        "bnp,pd->bnd", patches, params["patch_embed"], preferred_element_type=jnp.float32
+        "bnp,pd->bnd", patches, patch_w, preferred_element_type=jnp.float32
     )
     if patch_bias is not None:
         embeds = embeds + patch_bias
-    embeds = embeds.astype(params["patch_embed"].dtype)
+    embeds = embeds.astype(patch_w.dtype)
 
     cls = jnp.broadcast_to(params["class_embedding"], (B, 1, c.hidden_size))
     x = jnp.concatenate([cls, embeds], axis=1)
