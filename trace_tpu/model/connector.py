@@ -149,6 +149,52 @@ def identity_forward(params: dict, x: jax.Array) -> jax.Array:
     return x
 
 
+def init_spatial_time_slot_params(
+    key: jax.Array, mm_hidden: int, lm_hidden: int,
+    num_spatial_slots: int = 8, num_time_slots: int = 1, dtype=jnp.float32,
+):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "spatial_slots": jax.random.normal(k1, (mm_hidden, num_spatial_slots), jnp.float32).astype(dtype),
+        "time_slots": jax.random.normal(k2, (mm_hidden, num_time_slots), jnp.float32).astype(dtype),
+        "ln_scale": jnp.ones((mm_hidden,), dtype),
+        "ln_bias": jnp.zeros((mm_hidden,), dtype),
+        "readout": (jax.random.normal(k3, (mm_hidden, lm_hidden), jnp.float32) * 0.02).astype(dtype),
+    }
+
+
+def spatial_time_slot_forward(params: dict, x: jax.Array, image_dim: int = 576) -> jax.Array:
+    """Split image/time token pools (reference SpatialTimeSlotPool,
+    builder.py:469-549): LN+RoPE+slot-pool the image part through the
+    readout, RoPE+slot-pool the raw time part, concat along the slot axis.
+
+    x: [B, T, N, D_mm] with the first image_dim positions per frame being
+    image tokens and the rest time tokens.
+    """
+    B, T, N, D = x.shape
+    img, tim = x[:, :, :image_dim], x[:, :, image_dim:]
+
+    h = layer_norm(img, params["ln_scale"], params["ln_bias"], LN_EPS)
+    h = _rope_over_positions(h, image_dim)
+    img_out = _slot_pool(h, params["spatial_slots"])  # [B, T, S, D]
+    img_out = jnp.einsum(
+        "btsd,de->btse", img_out, params["readout"], preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+    # time part: RoPE'd but neither normed nor read out (builder.py:528-540)
+    ht = _rope_over_positions(tim, N - image_dim)
+    tim_out = _slot_pool(ht, params["time_slots"])  # [B, T, St, D_mm]
+    # readout keeps image dims only in the reference; time slots stay at
+    # mm_hidden — concat requires matching dims, so project time slots too
+    # when dims differ (the reference only ever ran with print-debugging;
+    # this connector has no released checkpoints).
+    if tim_out.shape[-1] != img_out.shape[-1]:
+        tim_out = jnp.einsum(
+            "btsd,de->btse", tim_out, params["readout"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+    return jnp.concatenate([img_out, tim_out], axis=2)
+
+
 def build_connector(projector_type: str) -> tuple[Callable, Callable]:
     """Return (init_fn(key, mm_hidden, lm_hidden, **kw), forward_fn(params, x))."""
     mlp_match = re.match(r"^mlp(\d+)x_gelu$", projector_type)
@@ -176,6 +222,13 @@ def build_connector(projector_type: str) -> tuple[Callable, Callable]:
                 key, mm, lm, num_slots, dtype
             ),
             slot_forward,
+        )
+    if projector_type == "spatial_time_slot":
+        return (
+            lambda key, mm, lm, num_slots=8, dtype=jnp.float32: init_spatial_time_slot_params(
+                key, mm, lm, num_spatial_slots=num_slots, dtype=dtype
+            ),
+            spatial_time_slot_forward,
         )
     if projector_type == "identity":
         return (lambda key, mm, lm, dtype=jnp.float32: {}, identity_forward)

@@ -96,6 +96,7 @@ class TrainRecipe:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    grad_accum_steps: int = 1  # HF gradient_accumulation_steps equivalent
 
     @classmethod
     def stage1(cls, total_steps: int) -> "TrainRecipe":
@@ -130,7 +131,7 @@ def build_optimizer(params: dict, recipe: TrainRecipe) -> optax.GradientTransfor
         )
 
     labels = param_labels(params, recipe.stage)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "base": adamw(recipe.learning_rate),
             "projector": adamw(recipe.projector_lr or recipe.learning_rate),
@@ -138,6 +139,9 @@ def build_optimizer(params: dict, recipe: TrainRecipe) -> optax.GradientTransfor
         },
         labels,
     )
+    if recipe.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=recipe.grad_accum_steps)
+    return tx
 
 
 # ---------------------------------------------------------------------------
