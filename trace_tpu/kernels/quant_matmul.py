@@ -1,0 +1,136 @@
+"""Pallas int8 weight-only matmul: y = (x @ q) * s.
+
+Why a kernel: expressing dequantization as XLA ops (`convert(q)*s` feeding a
+dot) lets while-loop invariant code motion hoist the converted bf16 weights
+out of the decode loop — materializing the full-precision weights (14.5 GB
+for the 7B decoder) that int8 was supposed to eliminate; measured as
+RESOURCE_EXHAUSTED on the chip.  Inside a Pallas kernel the int8->bf16
+convert happens per VMEM tile and is invisible to LICM.
+
+Because quantization scales are per OUTPUT channel, dequantization factors
+out of the contraction:  x @ (q * s) == (x @ q) * s — the kernel multiplies
+by the scale row once on the accumulated [bm, bn] block, not per weight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]                         # [bm, bk] bf16/f32
+    w = q_ref[:].astype(x.dtype)         # [bk, bn] int8 -> compute dtype (tile-local)
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)[None, :]).astype(
+            o_ref.dtype
+        )
+
+
+def _pad_dim(x, axis, mult):
+    size = x.shape[axis]
+    target = -(-size // mult) * mult
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret")
+)
+def quant_matmul(
+    x: jax.Array,   # [M, K] bf16/f32
+    q: jax.Array,   # [K, N] int8
+    s: jax.Array,   # [N] or broadcastable scale (per output channel)
+    *,
+    out_dtype=None,
+    bm: int = 256,
+    bn: int = 512,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """y[M, N] = (x @ q) * s with tile-local dequantization."""
+    M, K = x.shape
+    K2, N = q.shape
+    assert K == K2, (x.shape, q.shape)
+    out_dtype = out_dtype or x.dtype
+    s = jnp.reshape(s, (-1,))
+    assert s.shape[0] == N, (s.shape, N)
+
+    bm = min(bm, -(-M // 8) * 8)
+    bn = min(bn, N)
+    bk = min(bk, K)
+
+    xp = _pad_dim(_pad_dim(x, 0, bm), 1, bk)
+    qp = _pad_dim(_pad_dim(q, 0, bk), 1, bn)
+    sp = _pad_dim(s[None, :], 1, bn)  # [1, Np]
+    Mp, Kp = xp.shape
+    Np = qp.shape[1]
+    nm, nn, nk = Mp // bm, Np // bn, Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=xp.nbytes + qp.nbytes + Mp * Np * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, qp, sp)
+    return out[:M, :N]
+
+
+def quant_apply(
+    x: jax.Array,      # [..., K]
+    leaf,              # {'q': int8 [K, *out], 's': [..., *out]} or plain array
+    out_shape: tuple,  # trailing output dims, e.g. (NH, hd) or (N,)
+    *,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Apply a (possibly quantized) weight as a 2-D contraction over the
+    last input axis; reshapes x/w to [M, K] @ [K, N]."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if isinstance(leaf, dict):
+        q = leaf["q"].reshape(K, -1)
+        s = leaf["s"].reshape(-1)
+        y = quant_matmul(x2, q, s, out_dtype=out_dtype or x.dtype, interpret=interpret)
+    else:
+        w = leaf.reshape(K, -1)
+        y = jnp.einsum(
+            "mk,kn->mn", x2, w, preferred_element_type=jnp.float32
+        ).astype(out_dtype or x.dtype)
+    return y.reshape(lead + out_shape)

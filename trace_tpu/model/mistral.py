@@ -163,12 +163,24 @@ def _layer(
     """
     B, T, D = x.shape
 
-    from trace_tpu.model.quantize import dequantize as dq
+    from trace_tpu.model.quantize import is_quantized
 
     h = rms_norm(x, lp["attn_norm"], config.rms_eps)
-    q = jnp.einsum("btd,dnh->bnth", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
-    k = jnp.einsum("btd,dnh->bnth", h, dq(lp["wk"], x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
-    v = jnp.einsum("btd,dnh->bnth", h, dq(lp["wv"], x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    NH, NKV, HD = config.num_heads, config.num_kv_heads, config.head_dim
+    if is_quantized(lp["wq"]):
+        # int8 path: tile-local dequant inside the Pallas matmul — XLA must
+        # never see convert(int8) feeding a dot, or LICM hoists full bf16
+        # weight copies out of the decode loop (measured OOM).
+        from trace_tpu.kernels.quant_matmul import quant_apply
+
+        interp = jax.default_backend() == "cpu"
+        q = quant_apply(h, lp["wq"], (NH, HD), interpret=interp).transpose(0, 2, 1, 3)
+        k = quant_apply(h, lp["wk"], (NKV, HD), interpret=interp).transpose(0, 2, 1, 3)
+        v = quant_apply(h, lp["wv"], (NKV, HD), interpret=interp).transpose(0, 2, 1, 3)
+    else:
+        q = jnp.einsum("btd,dnh->bnth", h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+        k = jnp.einsum("btd,dnh->bnth", h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+        v = jnp.einsum("btd,dnh->bnth", h, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if config.attn_qkv_bias:
         q = q + lp["bq"][None, :, None, :]
         k = k + lp["bk"][None, :, None, :]
@@ -194,17 +206,32 @@ def _layer(
         else:
             k_all, v_all = new_cache
         attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
+    if is_quantized(lp["wo"]):
+        from trace_tpu.kernels.quant_matmul import quant_apply
+
+        interp = jax.default_backend() == "cpu"
+        attn_flat = attn.transpose(0, 2, 1, 3).reshape(B, T, NH * HD)
+        attn_out = quant_apply(attn_flat, lp["wo"], (D,), interpret=interp)
+        x = x + attn_out
+        h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
+        I = lp["w_gate"]["q"].shape[-1]
+        gate = quant_apply(h, lp["w_gate"], (I,), out_dtype=jnp.float32, interpret=interp)
+        up = quant_apply(h, lp["w_up"], (I,), out_dtype=jnp.float32, interpret=interp)
+        act = (jax.nn.silu(gate) * up).astype(x.dtype)
+        mlp_out = quant_apply(act, lp["w_down"], (D,), interpret=interp)
+        return x + mlp_out, new_cache
+
     attn_out = jnp.einsum(
-        "bnth,nhd->btd", attn, dq(lp["wo"], x.dtype), preferred_element_type=jnp.float32
+        "bnth,nhd->btd", attn, lp["wo"], preferred_element_type=jnp.float32
     ).astype(x.dtype)
     x = x + attn_out
 
     h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
-    gate = jnp.einsum("btd,di->bti", h, dq(lp["w_gate"], x.dtype), preferred_element_type=jnp.float32)
-    up = jnp.einsum("btd,di->bti", h, dq(lp["w_up"], x.dtype), preferred_element_type=jnp.float32)
+    gate = jnp.einsum("btd,di->bti", h, lp["w_gate"], preferred_element_type=jnp.float32)
+    up = jnp.einsum("btd,di->bti", h, lp["w_up"], preferred_element_type=jnp.float32)
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     mlp_out = jnp.einsum(
-        "bti,id->btd", act, dq(lp["w_down"], x.dtype), preferred_element_type=jnp.float32
+        "bti,id->btd", act, lp["w_down"], preferred_element_type=jnp.float32
     ).astype(x.dtype)
     return x + mlp_out, new_cache
 
@@ -309,10 +336,19 @@ def compute_logits(params: dict, hidden: jax.Array) -> jax.Array:
     Concatenation order text|sync|time|score matches the reference
     (trace_mistral.py:191-204, 246).
     """
-    from trace_tpu.model.quantize import dequantize
+    from trace_tpu.model.quantize import is_quantized
 
     h = hidden
-    text = jnp.einsum("...d,dv->...v", h, dequantize(params["lm_head"], h.dtype), preferred_element_type=jnp.float32)
+    if is_quantized(params["lm_head"]):
+        from trace_tpu.kernels.quant_matmul import quant_apply
+
+        V = params["lm_head"]["q"].shape[-1]
+        text = quant_apply(
+            h, params["lm_head"], (V,), out_dtype=jnp.float32,
+            interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        text = jnp.einsum("...d,dv->...v", h, params["lm_head"], preferred_element_type=jnp.float32)
     sync = jnp.einsum("...d,dv->...v", h, params["sync_head"], preferred_element_type=jnp.float32)
     time = jnp.einsum("...d,dv->...v", h, params["time_head"], preferred_element_type=jnp.float32)
     score = jnp.einsum("...d,dv->...v", h, params["score_head"], preferred_element_type=jnp.float32)
