@@ -30,16 +30,31 @@ sys.path.insert(0, ".")
 V100_BASELINE_VIDEOS_PER_SEC = 0.33
 
 
-def zero_params(config):
+def zero_params(config, quant: str = "bf16"):
+    """Zero-weight params at the right shapes/dtypes — no giant on-device
+    init or quantize program runs (the relay misbehaves after ~20GB-working-
+    set programs)."""
     import jax
     import jax.numpy as jnp
     from trace_tpu.model.trace_model import init_trace_params
 
-    shapes = jax.eval_shape(
-        lambda k: init_trace_params(config, k, dtype=config.dtype),
-        jax.random.PRNGKey(0),
-    )
-    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    def build(key):
+        p = init_trace_params(config, key, dtype=config.dtype)
+        if quant == "int8":
+            from trace_tpu.model.quantize import quantize_decoder_params
+
+            p = dict(p)
+            p["decoder"] = quantize_decoder_params(p["decoder"])
+        return p
+
+    shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
+
+    def mk(s):
+        if s.dtype == jnp.int8:
+            return jnp.zeros(s.shape, s.dtype)
+        return jnp.zeros(s.shape, s.dtype)
+
+    return jax.tree.map(mk, shapes)
 
 
 def main():
@@ -75,11 +90,7 @@ def main():
         )
 
     dev = jax.devices()[0]
-    params = zero_params(config)
-    if args.quant == "int8" and not args.small:
-        from trace_tpu.model.quantize import quantize_trace_params
-
-        params = quantize_trace_params(params)
+    params = zero_params(config, quant=args.quant if not args.small else "bf16")
     tok = ByteTokenizer()
     pipe = TracePipeline(params=params, config=config, tokenizer=tok)
     del params  # pipeline dedupes the embed table; drop the outer reference

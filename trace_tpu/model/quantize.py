@@ -98,3 +98,38 @@ def quantize_trace_params(params: dict, *, vision: bool = True) -> dict:
     if vision and "vision" in params:
         out["vision"] = quantize_vision_params(params["vision"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) quantization
+# ---------------------------------------------------------------------------
+# Running the quantizer as one on-device program needs bf16+int8 weights
+# co-resident (~22 GB working set) and leaves the relay allocator in a state
+# where subsequent programs fail; checkpoint conversion quantizes on host
+# instead, and only int8 tensors ever reach the device.
+
+def _quantize_axis_np(w, reduce_axes: tuple[int, ...]):
+    import ml_dtypes
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=reduce_axes, keepdims=True)
+    scale = np.maximum(amax / 127.0, 1e-8)
+    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    return {"q": q, "s": scale.astype(ml_dtypes.bfloat16)}
+
+
+def quantize_decoder_params_host(params: dict) -> dict:
+    """numpy-in / numpy-out variant of :func:`quantize_decoder_params`."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    layers["wq"] = _quantize_axis_np(layers["wq"], (1,))
+    layers["wk"] = _quantize_axis_np(layers["wk"], (1,))
+    layers["wv"] = _quantize_axis_np(layers["wv"], (1,))
+    layers["wo"] = _quantize_axis_np(layers["wo"], (1, 2))
+    layers["w_gate"] = _quantize_axis_np(layers["w_gate"], (1,))
+    layers["w_up"] = _quantize_axis_np(layers["w_up"], (1,))
+    layers["w_down"] = _quantize_axis_np(layers["w_down"], (1,))
+    out["layers"] = layers
+    out["lm_head"] = _quantize_axis_np(params["lm_head"], (0,))
+    return out
