@@ -70,6 +70,15 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: the tunneled remote compiler takes minutes
+    # per program; cache hits make repeat bench runs near-instant
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from trace_tpu.model.config import DecoderConfig, TraceConfig, VisionConfig
