@@ -61,7 +61,8 @@ def quant_matmul(
     s: jax.Array,   # [N] or broadcastable scale (per output channel)
     *,
     out_dtype=None,
-    bm: int = 256,
+    bm: int = 1024,  # large m blocks: the weight is streamed once per m-block,
+                     # so prefill (M~2K) wants few m-blocks; decode pads M to 8
     bn: int = 512,
     bk: int = 512,
     interpret: bool = False,
