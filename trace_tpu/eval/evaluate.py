@@ -19,20 +19,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-TASK_PROMPTS = {
-    "dvc": "dvc.txt",
-    "dvc-anet": "dvc-anet.txt",
-    "dvc-anet-ft": "dvc-anet-ft.txt",
-    "tvg": "mr.txt",
-    "vhd": "vhd.txt",
-}
-
-
-def load_task_prompt(task: str) -> str:
-    name = TASK_PROMPTS[task]
-    path = os.path.join(os.path.dirname(__file__), "..", "prompts", name)
-    with open(path) as f:
-        return f.read().strip()
+from trace_tpu.task_prompts import TASK_TO_PROMPT as TASK_PROMPTS
+from trace_tpu.task_prompts import get_task_prompt as load_task_prompt
 
 
 def load_annotations(anno_path: str, split: str, limit: Optional[int] = None) -> list[dict]:
