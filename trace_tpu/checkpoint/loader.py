@@ -22,6 +22,12 @@ import numpy as np
 from trace_tpu.checkpoint import convert as C
 
 
+def get_model_name_from_path(model_path: str) -> str:
+    """Checkpoint-dir -> model name (reference: mm_utils.py:556-563)."""
+    parts = model_path.strip("/").split("/")
+    return "_".join(parts) if parts[-1].startswith("checkpoint-") else "_".join(parts)
+
+
 def merge_lora_weights(
     base_sd: Dict[str, np.ndarray],
     adapter_sd: Dict[str, np.ndarray],
