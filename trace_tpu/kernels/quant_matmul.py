@@ -112,6 +112,18 @@ def quant_matmul(
     return out[:M, :N]
 
 
+def _impl() -> str:
+    """'pallas' (tile-local dequant kernel) or 'xla' (dequant einsum).
+
+    Selected via TRACE_TPU_QMM; 'xla' keeps dequantization visible to XLA
+    (scale folds into the dot's operand) and compiles much faster over the
+    remote-compile tunnel.
+    """
+    import os
+
+    return os.environ.get("TRACE_TPU_QMM", "xla")
+
+
 def quant_apply(
     x: jax.Array,      # [..., K]
     leaf,              # {'q': int8 [K, *out], 's': [..., *out]} or plain array
@@ -128,7 +140,19 @@ def quant_apply(
     if isinstance(leaf, dict):
         q = leaf["q"].reshape(K, -1)
         s = leaf["s"].reshape(-1)
-        y = quant_matmul(x2, q, s, out_dtype=out_dtype or x.dtype, interpret=interpret)
+        if _impl() == "pallas":
+            y = quant_matmul(
+                x2, q, s, out_dtype=out_dtype or x.dtype, interpret=interpret
+            )
+        else:
+            # int8 operand converted at the dot input (XLA fuses the convert
+            # into the operand read); per-output-channel scale applied on the
+            # [M, N] result, so no full-precision weight copy exists.
+            acc = jax.lax.dot_general(
+                x2, q.astype(x2.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = (acc * s.astype(jnp.float32)[None, :]).astype(out_dtype or x.dtype)
     else:
         w = leaf.reshape(K, -1)
         y = jnp.einsum(
