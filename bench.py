@@ -155,13 +155,17 @@ def main():
     per_video = per_corpus / n_videos
     videos_per_sec = n_videos / per_corpus
 
-    # component timings: one encode batch, scaled
+    # component timings: one encode batch, scaled.
+    # block_until_ready is unreliable over the axon relay — force completion
+    # with a host fetch of a reduction.
+    import jax.numpy as jnp2
+
     eb = min(2, B)
     t0 = time.perf_counter()
     prefix, _mask = pipe._prepare_prefix_batch(
         frames_all[:eb], [ts] * eb, [instruction] * eb
     )
-    prefix.block_until_ready()
+    np.asarray(jnp2.sum(prefix.astype(jnp2.float32)))
     encode_time = (time.perf_counter() - t0) / eb  # per video
     vit_fps = args.frames / encode_time
     decode_time = per_video - encode_time

@@ -14,13 +14,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _force(out):
+    """block_until_ready is unreliable over the axon relay; a host fetch of a
+    reduction forces real completion."""
+    leaves = jax.tree.leaves(out)
+    np.asarray(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
 def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    _force(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _force(out)
     return (time.perf_counter() - t0) / n
 
 
