@@ -151,6 +151,31 @@ def flash_attention(
     return out[:, :, :Tq, :hd]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_trainable(q, k, v, mask_bias, causal: bool = False):
+    """Differentiable flash attention: Pallas forward (VMEM-only scores),
+    XLA-recompute backward.  The forward pass of training never materializes
+    [B, H, T, S] scores; the backward pass recomputes them transiently (the
+    same trade jax.checkpoint makes layer-wide)."""
+    return flash_attention(q, k, v, mask_bias, causal=causal)
+
+
+def _fat_fwd(q, k, v, mask_bias, causal):
+    return flash_attention(q, k, v, mask_bias, causal=causal), (q, k, v, mask_bias)
+
+
+def _fat_bwd(causal, res, g):
+    q, k, v, mask_bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, m_: xla_attention(q_, k_, v_, m_, causal=causal),
+        q, k, v, mask_bias,
+    )
+    return vjp(g)
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
 def attention_with_fallback(
     q, k, v, mask_bias=None, *, causal=False, use_flash=True
 ):
