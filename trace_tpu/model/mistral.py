@@ -197,9 +197,9 @@ def _layer(
         new_cache = (ck, cv)
 
     if flash_bias is not None and T > 1:
-        from trace_tpu.kernels.flash_attention import flash_attention
+        from trace_tpu.kernels.flash_attention import flash_attention_trainable
 
-        attn = flash_attention(q, k, v, flash_bias, causal=True)
+        attn = flash_attention_trainable(q, k, v, flash_bias, True)
     else:
         if cache_kv is None:
             k_all, v_all = k, v
