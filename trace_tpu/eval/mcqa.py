@@ -280,3 +280,40 @@ def _run_mcqa(
         with open(os.path.join(output_dir, "upload_leaderboard.json"), "w") as f:
             json.dump(final, f)
     return final
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="MCQA benchmarks (MVBench / Video-MME)")
+    ap.add_argument("--benchmark", choices=["mvbench", "videomme"], required=True)
+    ap.add_argument("--model-path", required=True)
+    ap.add_argument("--vision-path", default=None)
+    ap.add_argument("--anno-path", required=True)
+    ap.add_argument("--video-path", required=True)
+    ap.add_argument("--output-dir", default="mcqa_out")
+    ap.add_argument("--num-frames", type=int, default=128)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args()
+
+    from trace_tpu.runtime.pipeline import model_init
+
+    pipeline = model_init(args.model_path, vision_path=args.vision_path)
+    if args.benchmark == "mvbench":
+        final = run_mvbench(
+            pipeline, args.anno_path, args.video_path,
+            num_frames=args.num_frames, batch_size=args.batch_size,
+            output_dir=args.output_dir, limit_per_task=args.limit,
+        )
+    else:
+        final = run_videomme(
+            pipeline, args.anno_path, args.video_path,
+            num_frames=args.num_frames, batch_size=args.batch_size,
+            output_dir=args.output_dir, limit=args.limit,
+        )
+    print(json.dumps(final, indent=2))
+
+
+if __name__ == "__main__":
+    main()
