@@ -199,7 +199,6 @@ def train_loop(
     and auto-resume (reference: trainer auto-resume train_mt.py:1177-1180)."""
     import numpy as np
 
-    from trace_tpu.data.dataset import collate_batch
     from trace_tpu.data.sampler import modality_grouped_indices
 
     tx = build_optimizer(params, recipe)
@@ -233,14 +232,16 @@ def train_loop(
 
         mlog = MetricsLogger(metrics_path)
 
+    from trace_tpu.data.loader import PrefetchLoader
+
+    loader = PrefetchLoader(
+        dataset, batch_size, order=order[start_step * batch_size :],
+        num_workers=4, prefetch_batches=2,
+    )
+
     step = start_step
     metrics = {}
-    for i in range(start_step * batch_size, len(order), batch_size):
-        idx = order[i : i + batch_size]
-        if len(idx) < batch_size:
-            break
-        batch = collate_batch([dataset[j] for j in idx])
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for batch in loader:
         params, opt_state, metrics = step_fn(params, opt_state, batch)
         step += 1
         if log_every and step % log_every == 0:
