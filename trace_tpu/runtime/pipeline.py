@@ -146,6 +146,7 @@ class TracePipeline:
         if self._encode_params is None:
             self._restore_vision()
         cfg = self.config
+        S = cfg.vision.image_size
         per_sample = []
         for frames_u8, ts, instruction in zip(frames_u8_list, timestamps_list, instructions):
             prompt = conv.build_trace_prompt(instruction, template_name=template)
@@ -159,9 +160,14 @@ class TracePipeline:
                 [TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
                  for t in ts]
             ).astype(np.int32)
+            # frames larger than the ViT input downscale on host first — the
+            # host->device link is the bottleneck in tunneled setups
+            if frames_u8.shape[1] * frames_u8.shape[2] > int(1.3 * S * S):
+                from trace_tpu.video.preprocess import host_downscale
+
+                frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
             frames = _preprocess_jit(
-                jnp.asarray(frames_u8), cfg, cfg.vision.image_size,
-                cfg.image_aspect_ratio,
+                jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
             ).astype(cfg.dtype)
             per_sample.append((token_ids, video_pos, frames, time_ids))
 

@@ -16,6 +16,31 @@ import numpy as np
 from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
 
+def host_downscale(
+    frames: np.ndarray, image_size: int = 336, aspect_ratio: str = "pad"
+) -> np.ndarray:
+    """Host-side pad-square + resize to [T, S, S, 3] uint8 (cv2 bicubic).
+
+    Used when the host->device link is the bottleneck (the tunneled bench
+    setup): shrinking 480p frames to 336^2 before upload cuts transferred
+    bytes ~35%; the device then only normalizes.  Numerically this matches
+    the reference more closely than the device path (the reference resizes
+    on host with PIL, mm_utils.py:459-464).
+    """
+    import cv2
+
+    T, H, W, C = frames.shape
+    if aspect_ratio == "pad" and H != W:
+        fill = (CLIP_IMAGE_MEAN * 255).astype(np.uint8)
+        frames = pad_to_square_np(frames, fill)
+    out = np.empty((T, image_size, image_size, 3), np.uint8)
+    for i in range(T):
+        out[i] = cv2.resize(
+            frames[i], (image_size, image_size), interpolation=cv2.INTER_CUBIC
+        )
+    return out
+
+
 def pad_to_square_np(frames: np.ndarray, fill: np.ndarray) -> np.ndarray:
     """Host fallback of expand2square (mm_utils.py:259-270): center the frame
     on a square canvas filled with the CLIP mean color."""
