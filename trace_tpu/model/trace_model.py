@@ -97,8 +97,17 @@ def encode_video(
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
 
     _, conn_fwd = connector_lib.build_connector(config.mm_projector_type)
-    slots = conn_fwd(params["connector"], feats)  # [B, T, S, D_lm]
+    slots = conn_fwd(params["connector"], feats)
 
+    if slots.ndim == 3:
+        # global-pooling connectors (slot / linear / mlp / stc family) emit
+        # [B, S, D] without a frame axis — no per-frame time interleave
+        # (matches the reference's non-v5 aggregator paths,
+        # trace_arch.py:311-338); per-frame time embeds only apply to the
+        # production spatial_slot layout.
+        return slots
+
+    # [B, T, S, D_lm] per-frame connectors: interleave 6 time tokens/frame
     time_feats = params["towers"]["time"][frame_time_ids]  # [B, T, 6, D_lm]
     merged = jnp.concatenate([slots, time_feats.astype(slots.dtype)], axis=2)
     return merged.reshape(B, T * merged.shape[2], merged.shape[3])
