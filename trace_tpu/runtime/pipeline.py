@@ -373,9 +373,19 @@ class TracePipeline:
         template: str = "llama_2",
         seed: int = 0,
         constrain_time: bool = False,
+        offload_vision: Optional[bool] = None,
     ) -> list[EventPredictions]:
-        """Encode every video first (vision tower resident), offload the
-        tower, then batch-decode with the freed HBM as KV cache."""
+        """Encode every video first (vision tower resident), then batch-decode.
+
+        The tower offloads to host between the phases only when it must
+        (bf16 weights leave no HBM headroom); with int8 weights everything
+        fits and the 0.6 GB host round-trip (~40 s over a tunneled link) is
+        skipped."""
+        if offload_vision is None:
+            from trace_tpu.model.quantize import is_quantized
+
+            dec = self._decoder_params or self.params.get("decoder", {})
+            offload_vision = not is_quantized(dec.get("layers", {}).get("wq"))
         self._prepare_memory_layout()
         self._restore_vision()
 
@@ -402,7 +412,8 @@ class TracePipeline:
                     for t in ts
                 ]).astype(np.int32))
 
-        self._offload_vision()
+        if offload_vision:
+            self._offload_vision()
 
         detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
         results: list[EventPredictions] = []
