@@ -40,6 +40,10 @@ class DecoderConfig:
     # qwen2-style attention q/k/v biases (train_mt.py:948-1011 selects among
     # vicuna/qwen2/mistral backbones; vicuna/llama = MHA, qwen2 adds biases)
     attn_qkv_bias: bool = False
+    # LoRA adapters on the attention/MLP projections (reference --lora_enable,
+    # train_mt.py:1017-1050). 0 = off.
+    lora_r: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def combined_vocab_size(self) -> int:
