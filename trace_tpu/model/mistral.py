@@ -181,6 +181,20 @@ def _layer(
         q = jnp.einsum("btd,dnh->bnth", h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
         k = jnp.einsum("btd,dnh->bnth", h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
         v = jnp.einsum("btd,dnh->bnth", h, lp["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        if "wq_lora_a" in lp or "wv_lora_a" in lp:
+            from trace_tpu.model.lora import lora_delta
+
+            for name, tgt in (("wq", "q"), ("wk", "k"), ("wv", "v")):
+                d = lora_delta(h, lp, name, config)
+                if d is not None:
+                    nh = NH if name == "wq" else NKV
+                    d = d.reshape(B, T, nh, HD).transpose(0, 2, 1, 3)
+                    if tgt == "q":
+                        q = q + d
+                    elif tgt == "k":
+                        k = k + d
+                    else:
+                        v = v + d
     if config.attn_qkv_bias:
         q = q + lp["bq"][None, :, None, :]
         k = k + lp["bk"][None, :, None, :]
@@ -224,15 +238,29 @@ def _layer(
     attn_out = jnp.einsum(
         "bnth,nhd->btd", attn, lp["wo"], preferred_element_type=jnp.float32
     ).astype(x.dtype)
+    if "wo_lora_a" in lp:
+        from trace_tpu.model.lora import lora_delta
+
+        attn_flat = attn.transpose(0, 2, 1, 3).reshape(B, T, NH * HD)
+        attn_out = attn_out + lora_delta(attn_flat, lp, "wo", config)
     x = x + attn_out
 
     h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
     gate = jnp.einsum("btd,di->bti", h, lp["w_gate"], preferred_element_type=jnp.float32)
     up = jnp.einsum("btd,di->bti", h, lp["w_up"], preferred_element_type=jnp.float32)
+    if "w_gate_lora_a" in lp:
+        from trace_tpu.model.lora import lora_delta
+
+        gate = gate + lora_delta(h, lp, "w_gate", config)
+        up = up + lora_delta(h, lp, "w_up", config)
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     mlp_out = jnp.einsum(
         "bti,id->btd", act, lp["w_down"], preferred_element_type=jnp.float32
     ).astype(x.dtype)
+    if "w_down_lora_a" in lp:
+        from trace_tpu.model.lora import lora_delta
+
+        mlp_out = mlp_out + lora_delta(act, lp, "w_down", config)
     return x + mlp_out, new_cache
 
 

@@ -43,6 +43,8 @@ def param_group(path_s: str, stage: str) -> str:
     """'frozen' | 'projector' | 'base' for a param path under the stage recipe."""
     if path_s.startswith("vision"):
         return "frozen"  # CLIP tower is frozen in every stage (clip_encoder.py:27)
+    if "_lora_" in path_s:
+        return "base"  # adapters always train when present
     if path_s.startswith("connector"):
         return "projector"
     if path_s.startswith("towers"):
@@ -51,8 +53,10 @@ def param_group(path_s: str, stage: str) -> str:
         tail = path_s.split("/", 1)[1]
         if tail in ("time_head", "score_head", "sync_head"):
             return "base"  # --tune_mm_embed_head (train_mt.py:1153-1159)
-        if stage == "pretrain":
-            return "frozen"  # backbone + embed + lm_head frozen in stage 1
+        if stage in ("pretrain", "lora"):
+            # stage 1 freezes the backbone; LoRA stage freezes the base
+            # weights and trains only the adapters (train_mt.py:1017-1050)
+            return "frozen"
         return "base"
     return "base"
 
