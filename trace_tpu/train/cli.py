@@ -21,7 +21,7 @@ import os
 
 def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description="TRACE-TPU training")
-    ap.add_argument("--stage", choices=["pretrain", "sft"], required=True)
+    ap.add_argument("--stage", choices=["pretrain", "sft", "lora"], required=True)
     ap.add_argument("--data-path", required=True, help="annotation JSON")
     ap.add_argument("--data-folder", default="")
     ap.add_argument("--init-checkpoint", default=None,
