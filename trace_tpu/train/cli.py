@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--save-steps", type=int, default=2000)
     ap.add_argument("--mesh-devices", type=int, default=0, help="0 = all")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--lora-r", type=int, default=128,
+                    help="LoRA rank for --stage lora (reference default)")
+    ap.add_argument("--lora-alpha", type=float, default=256.0)
     return ap
 
 
@@ -88,6 +91,25 @@ def main(argv=None):
     total_steps = steps_per_epoch * args.epochs
     if args.stage == "pretrain":
         recipe = TrainRecipe.stage1(total_steps)
+    elif args.stage == "lora":
+        import dataclasses as dc
+
+        import jax as _jax
+
+        from trace_tpu.model.lora import add_lora_params
+
+        config = dc.replace(
+            config,
+            decoder=dc.replace(
+                config.decoder, lora_r=args.lora_r, lora_alpha=args.lora_alpha
+            ),
+        )
+        params = dict(params)
+        params["decoder"] = add_lora_params(
+            params["decoder"], config.decoder, _jax.random.PRNGKey(args.seed),
+            targets=("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"),
+        )
+        recipe = TrainRecipe(stage="lora", learning_rate=1e-4, total_steps=total_steps)
     else:
         recipe = TrainRecipe.stage2(total_steps)
     if args.learning_rate is not None:
