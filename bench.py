@@ -62,7 +62,7 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
     ap.add_argument("--videos", type=int, default=2, help="timed batches")
-    ap.add_argument("--batch", type=int, default=4, help="videos per batch")
+    ap.add_argument("--batch", type=int, default=8, help="videos per batch")
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
     ap.add_argument("--quant", choices=["bf16", "int8"], default="int8",
                     help="int8 = weight-only quantized serving config "
