@@ -41,9 +41,16 @@ def run_vtg_eval(
     max_new_tokens: int = 512,
     prompt_text: Optional[str] = None,
     progress: bool = True,
+    corpus_mode: bool = True,
+    constrain_time: bool = False,
 ) -> list[dict]:
     """Batched inference over the annotation list -> fmt-style result records
-    [{'video', 'id', 'timestamps', 'scores', 'captions'}, ...]."""
+    [{'video', 'id', 'timestamps', 'scores', 'captions'}, ...].
+
+    corpus_mode uses the two-phase pipeline (encode all, then batched decode)
+    — the throughput configuration; constrain_time enables trace-retrieval
+    timestamp alignment.
+    """
     from trace_tpu.video.io import load_video_frames
 
     prompt = prompt_text or load_task_prompt(task)
@@ -62,6 +69,38 @@ def run_vtg_eval(
 
     results = []
     t0 = time.time()
+
+    if corpus_mode:
+        # pre-filter undecodable videos (the corpus loader has no skip path)
+        goods = []
+        for it in items:
+            try:
+                load_video_frames(it["path"], 1)
+                goods.append(it)
+            except Exception as e:
+                print(f"skipping {it['path']}: {e}")
+
+        def load_item(i):
+            it = goods[i]
+            frames, ts = load_video_frames(it["path"], num_frames)
+            return frames, ts, it["q"]
+
+        preds = pipeline.infer_events_corpus(
+            load_item, len(goods),
+            encode_batch=min(2, batch_size), decode_batch=batch_size,
+            max_new_tokens=max_new_tokens, constrain_time=constrain_time,
+        )
+        for it, p in zip(goods, preds):
+            results.append({
+                "video": it["video"], "id": it["id"],
+                "timestamps": p.timestamps, "scores": p.scores,
+                "captions": p.captions,
+            })
+        if progress:
+            rate = len(goods) / max(time.time() - t0, 1e-9)
+            print(f"[{task}] {len(goods)} videos ({rate:.2f} vid/s)")
+        return results
+
     for start in range(0, len(items), batch_size):
         chunk = items[start : start + batch_size]
         frames_list, ts_list, goods = [], [], []
