@@ -129,6 +129,33 @@ class TracePipeline:
         )
         return prefix  # [1, P, D]
 
+    def _prepare_sample_host(self, frames_u8, ts, instruction, template="llama_2"):
+        """Host side of sample prep: tokenize, downscale, start the frame
+        upload (device_put is async — callable from a producer thread so
+        uploads overlap the previous batch's encode)."""
+        cfg = self.config
+        S = cfg.vision.image_size
+        prompt = conv.build_trace_prompt(instruction, template_name=template)
+        spliced = splice_modal_tokens(prompt, self.tokenizer)
+        T = frames_u8.shape[0]
+        token_ids, video_pos = expand_prompt_ids(
+            spliced, T * tokens_per_frame(cfg), cfg.decoder.vocab_size
+        )
+        time_ids = np.stack(
+            [TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
+             for t in ts]
+        ).astype(np.int32)
+        # frames larger than the ViT input downscale on host first — the
+        # host->device link is the bottleneck in tunneled setups
+        if frames_u8.shape[1] * frames_u8.shape[2] > int(1.3 * S * S):
+            from trace_tpu.video.preprocess import host_downscale
+
+            frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
+        frames = _preprocess_jit(
+            jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
+        ).astype(cfg.dtype)
+        return (token_ids, video_pos, frames, time_ids)
+
     def _prepare_prefix_batch(
         self,
         frames_u8_list: Sequence[np.ndarray],
@@ -146,31 +173,15 @@ class TracePipeline:
         if self._encode_params is None:
             self._restore_vision()
         cfg = self.config
-        S = cfg.vision.image_size
-        per_sample = []
-        for frames_u8, ts, instruction in zip(frames_u8_list, timestamps_list, instructions):
-            prompt = conv.build_trace_prompt(instruction, template_name=template)
-            spliced = splice_modal_tokens(prompt, self.tokenizer)
-            T = frames_u8.shape[0]
-            n_video_tokens = T * tokens_per_frame(cfg)
-            token_ids, video_pos = expand_prompt_ids(
-                spliced, n_video_tokens, cfg.decoder.vocab_size
-            )
-            time_ids = np.stack(
-                [TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
-                 for t in ts]
-            ).astype(np.int32)
-            # frames larger than the ViT input downscale on host first — the
-            # host->device link is the bottleneck in tunneled setups
-            if frames_u8.shape[1] * frames_u8.shape[2] > int(1.3 * S * S):
-                from trace_tpu.video.preprocess import host_downscale
+        per_sample = [
+            self._prepare_sample_host(f, ts, q, template)
+            for f, ts, q in zip(frames_u8_list, timestamps_list, instructions)
+        ]
+        return self._encode_prepared(per_sample)
 
-                frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
-            frames = _preprocess_jit(
-                jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
-            ).astype(cfg.dtype)
-            per_sample.append((token_ids, video_pos, frames, time_ids))
-
+    def _encode_prepared(self, per_sample: list):
+        """Device side: stack prepared samples and run the encode program."""
+        cfg = self.config
         L = max(len(s[0]) for s in per_sample)
         B = len(per_sample)
         token_ids = np.zeros((B, L), np.int32)
@@ -390,27 +401,45 @@ class TracePipeline:
         self._restore_vision()
 
         # Prefixes stay ON DEVICE (a host round-trip costs 2 x 21 MB/video
-        # over the tunnel — measured to dominate encode time); frames upload
-        # asynchronously while the previous batch encodes.
+        # over the tunnel — measured to dominate encode time).  A producer
+        # thread decodes/downscales/uploads the NEXT batch's frames while the
+        # current batch encodes, hiding the slow host->device link behind
+        # compute.
+        from concurrent.futures import ThreadPoolExecutor
+
+        batches = [
+            list(range(s, min(s + encode_batch, num_items)))
+            for s in range(0, num_items, encode_batch)
+        ]
+
+        def prepare_batch(idxs):
+            out = []
+            for i in idxs:
+                f, ts, q = load_item(i)
+                out.append((self._prepare_sample_host(f, ts, q, template), ts))
+            return out
+
         prefixes: list = []   # [L_i, D] device arrays
         masks: list[np.ndarray] = []
         frame_ids: list[np.ndarray] = []
-        for start in range(0, num_items, encode_batch):
-            idxs = list(range(start, min(start + encode_batch, num_items)))
-            frames_l, ts_l, instr_l = [], [], []
-            for i in idxs:
-                f, ts, q = load_item(i)
-                frames_l.append(f)
-                ts_l.append(ts)
-                instr_l.append(q)
-            prefix, mask = self._prepare_prefix_batch(frames_l, ts_l, instr_l, template)
-            prefixes.extend(prefix[b] for b in range(prefix.shape[0]))
-            masks.extend(np.asarray(mask))
-            for ts in ts_l:
-                frame_ids.append(np.stack([
-                    TIME_CODEC.encode_value(t[0] if isinstance(t, (list, tuple)) else t)
-                    for t in ts
-                ]).astype(np.int32))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = [pool.submit(prepare_batch, b) for b in batches[:2]]
+            next_submit = 2
+            for bi in range(len(batches)):
+                prepared = futures[bi].result()
+                if next_submit < len(batches):
+                    futures.append(pool.submit(prepare_batch, batches[next_submit]))
+                    next_submit += 1
+                prefix, mask = self._encode_prepared([p for p, _ in prepared])
+                prefixes.extend(prefix[b] for b in range(prefix.shape[0]))
+                masks.extend(np.asarray(mask))
+                for _, ts in prepared:
+                    frame_ids.append(np.stack([
+                        TIME_CODEC.encode_value(
+                            t[0] if isinstance(t, (list, tuple)) else t
+                        )
+                        for t in ts
+                    ]).astype(np.int32))
 
         if offload_vision:
             self._offload_vision()
