@@ -144,6 +144,21 @@ def score_results(
     with open(gt_file) as f:
         gt = json.load(f)["annotations"]
 
+    if task in ("dvc-anet", "dvc-anet-ft"):
+        from trace_tpu.metrics.dvc_anet import evaluate_anet_dvc
+
+        refmt = reformat_dvc(results)
+        gt_map = {}
+        for j in gt:
+            caps = [c.strip() + "." for c in j["caption"].split(".") if len(c) > 5]
+            if len(caps) != len(j.get("segments", [])):
+                continue
+            gt_map[j["image_id"].split("/")[-1]] = {
+                "timestamps": j["segments"],
+                "sentences": caps,
+            }
+        return evaluate_anet_dvc(refmt, gt_map)
+
     if task.startswith("dvc"):
         import tempfile
 
