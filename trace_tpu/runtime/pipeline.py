@@ -101,6 +101,7 @@ class TracePipeline:
     _encode_params: dict = dataclasses.field(default=None, repr=False)
     _decoder_params: dict = dataclasses.field(default=None, repr=False)
     _vision_host: dict = dataclasses.field(default=None, repr=False)
+    last_corpus_stats: dict = dataclasses.field(default=None, repr=False)
 
     def _prepare_memory_layout(self):
         if self._combined is not None:
@@ -419,6 +420,9 @@ class TracePipeline:
                 out.append((self._prepare_sample_host(f, ts, q, template), ts))
             return out
 
+        import time as _time
+
+        t_encode0 = _time.perf_counter()
         prefixes: list = []   # [L_i, D] device arrays
         masks: list[np.ndarray] = []
         frame_ids: list[np.ndarray] = []
@@ -441,9 +445,15 @@ class TracePipeline:
                         for t in ts
                     ]).astype(np.int32))
 
+        # encode phase ends when the last prefix is materialized
+        if prefixes:
+            np.asarray(jnp.sum(prefixes[-1].astype(jnp.float32)))
+        t_encode = _time.perf_counter() - t_encode0
+
         if offload_vision:
             self._offload_vision()
 
+        t_decode0 = _time.perf_counter()
         detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
         results: list[EventPredictions] = []
         L = max(p.shape[0] for p in prefixes)
@@ -475,6 +485,11 @@ class TracePipeline:
                 results.append(decode_event_stream(
                     ids, detok, text_vocab_size=self.config.decoder.vocab_size
                 ))
+        self.last_corpus_stats = {
+            "encode_s": round(t_encode, 3),
+            "decode_s": round(_time.perf_counter() - t_decode0, 3),
+            "videos": num_items,
+        }
         return results
 
 
