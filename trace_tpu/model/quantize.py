@@ -24,20 +24,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# weight leaf name -> output axis (per-leaf scale axis); all other axes fold
-# into the quantization group. Layer weights carry a leading stacked L axis
-# which is always per-layer (part of the scale shape).
-_DECODER_RULES = {
-    "wq": (3,),      # [L, D, NH, hd] -> scale [L, 1, NH, hd]? No: out = (NH, hd)
-    "wk": (3,),
-    "wv": (3,),
-    "wo": (3,),      # [L, NH, hd, D] -> out axis D
-    "w_gate": (2,),  # [L, D, I] -> I
-    "w_up": (2,),
-    "w_down": (2,),  # [L, I, D] -> D
-}
-
-
 def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...]):
     """Symmetric int8 over the given axes; scale keeps the other axes."""
     wf = w.astype(jnp.float32)
