@@ -137,6 +137,10 @@ class TraceConfig:
     # on v5e) 16 is also the fastest config — 320 f/s vs 268 at chunk 128.
     # 0 = single batch.
     vit_chunk_size: int = 16
+    # Frame upload wire format: 'rgb' (uint8, exact) or 'yuv420' (half the
+    # host->device bytes; fidelity-neutral for H.264 sources, which are 4:2:0
+    # already — ~0.5% mean pixel error for true-RGB inputs).
+    upload_format: str = "rgb"
 
     @classmethod
     def tiny(cls) -> "TraceConfig":

@@ -84,6 +84,18 @@ def _preprocess_jit(frames_u8, config: TraceConfig, image_size: int, aspect_rati
     return preprocess_frames(frames_u8, image_size, aspect_ratio=aspect_ratio)
 
 
+@jax.jit
+def _preprocess_yuv_jit(yuv_u8):
+    """I420 planes (already at target size) -> normalized RGB on device."""
+    from trace_tpu.video.preprocess import i420_to_rgb
+    from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    rgb = i420_to_rgb(yuv_u8) / 255.0
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
+    return (rgb - mean) / std
+
+
 @dataclasses.dataclass
 class TracePipeline:
     """Owns params + config + tokenizer; runs single/batched video inference.
@@ -152,9 +164,19 @@ class TracePipeline:
             from trace_tpu.video.preprocess import host_downscale
 
             frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
-        frames = _preprocess_jit(
-            jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
-        ).astype(cfg.dtype)
+        if (
+            cfg.upload_format == "yuv420"
+            and frames_u8.shape[1] == S and frames_u8.shape[2] == S
+            and S % 4 == 0
+        ):
+            from trace_tpu.video.preprocess import rgb_to_i420_np
+
+            yuv = rgb_to_i420_np(np.ascontiguousarray(frames_u8))
+            frames = _preprocess_yuv_jit(jnp.asarray(yuv)).astype(cfg.dtype)
+        else:
+            frames = _preprocess_jit(
+                jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
+            ).astype(cfg.dtype)
         return (token_ids, video_pos, frames, time_ids)
 
     def _prepare_prefix_batch(

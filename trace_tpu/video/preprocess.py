@@ -41,6 +41,43 @@ def host_downscale(
     return out
 
 
+def rgb_to_i420_np(frames: np.ndarray) -> np.ndarray:
+    """Host: uint8 RGB [T, H, W, 3] -> planar I420 [T, H*3//2, W] uint8.
+
+    Halves host->device bytes (4:2:0 chroma subsampling — the format H.264
+    sources are already stored in, so for decoded video this loses nothing
+    the source had)."""
+    import cv2
+
+    T, H, W, _ = frames.shape
+    out = np.empty((T, H * 3 // 2, W), np.uint8)
+    for i in range(T):
+        out[i] = cv2.cvtColor(frames[i], cv2.COLOR_RGB2YUV_I420)
+    return out
+
+
+def i420_to_rgb(yuv: jax.Array) -> jax.Array:
+    """Device: planar I420 [T, H*3//2, W] uint8 -> RGB float [T, H, W, 3] in
+    [0, 255] (BT.601 full-range inverse of cv2's RGB2YUV_I420)."""
+    T, H15, W = yuv.shape
+    H = H15 * 2 // 3
+    y = yuv[:, :H, :].astype(jnp.float32)
+    # planar quarter-size U then V, each packed as H/4 rows of width W
+    u = yuv[:, H : H + H // 4, :].reshape(T, H // 2, W // 2)
+    v = yuv[:, H + H // 4 :, :].reshape(T, H // 2, W // 2)
+
+    # upsample chroma 2x (nearest)
+    u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
+    v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
+
+    # BT.601 studio swing (what cv2's I420 conversions use)
+    yf = 1.164 * (y - 16.0)
+    r = yf + 1.596 * v
+    g = yf - 0.391 * u - 0.813 * v
+    b = yf + 2.018 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
 def pad_to_square_np(frames: np.ndarray, fill: np.ndarray) -> np.ndarray:
     """Host fallback of expand2square (mm_utils.py:259-270): center the frame
     on a square canvas filled with the CLIP mean color."""
