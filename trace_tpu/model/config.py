@@ -44,6 +44,9 @@ class DecoderConfig:
     # train_mt.py:1017-1050). 0 = off.
     lora_r: int = 0
     lora_alpha: float = 16.0
+    # KV cache storage: 'bf16' (exact) or 'int8' (per-slot-per-head scales;
+    # halves cache HBM — relevant for batch>=16 decoding)
+    kv_cache_dtype: str = "bf16"
 
     @property
     def combined_vocab_size(self) -> int:

@@ -150,11 +150,16 @@ def _layer(
     cos: jax.Array,
     sin: jax.Array,
     bias: jax.Array,
-    cache_kv: Optional[Tuple[jax.Array, jax.Array]],
-    cache_index: Optional[jax.Array],
+    ctx_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     flash_bias: Optional[jax.Array] = None,
 ):
-    """One decoder block. Returns (x_out, (new_k_cache, new_v_cache)).
+    """One decoder block. Returns (x_out, (k_chunk, v_chunk)).
+
+    The layer never touches the KV cache: the caller supplies the previous
+    context ``ctx_kv`` ([B, NKV, S, hd], already dequantized) and receives the
+    chunk's fresh k/v to write — cache updates live in the scan body so XLA
+    can alias the carried buffers in place (threading the cache through scan
+    outputs copied the whole cache every decode step; measured ~5 ms/step/GB).
 
     When ``flash_bias`` is given (a [B, T] additive padding row) and T > 1,
     attention runs through the Pallas flash kernel over the current chunk
@@ -202,24 +207,19 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if cache_kv is None:
-        new_cache = None
-    else:
-        ck, cv = cache_kv  # [B, NKV, max_len, hd]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, 0, cache_index, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, 0, cache_index, 0))
-        new_cache = (ck, cv)
-
     if flash_bias is not None and T > 1:
         from trace_tpu.kernels.flash_attention import flash_attention_trainable
 
         attn = flash_attention_trainable(q, k, v, flash_bias, True)
     else:
-        if cache_kv is None:
+        if ctx_kv is None:
             k_all, v_all = k, v
         else:
-            k_all, v_all = new_cache
+            k_ctx, v_ctx = ctx_kv
+            k_all = jnp.concatenate([k_ctx.astype(x.dtype), k], axis=2)
+            v_all = jnp.concatenate([v_ctx.astype(x.dtype), v], axis=2)
         attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
+    new_cache = (k, v)  # chunk k/v for the caller's cache write
     if is_quantized(lp["wo"]):
         from trace_tpu.kernels.quant_matmul import quant_apply
 
@@ -311,24 +311,22 @@ def decoder_forward(
             causal_m = jnp.tril(jnp.ones((T, T), jnp.bool_))
             bias = bias + jnp.where(causal_m[None, None, :, :], 0.0, NEG_INF)
     else:
-        S = cache[0].shape[3]
-        # A query at chunk offset i may see: previously valid cache slots, and
-        # newly written slots cache_index..cache_index+i that hold REAL tokens
-        # (left-padding in the chunk must stay invisible).
-        slot = jnp.arange(S)[None, None, None, :]  # [1,1,1,S]
-        qoff = jnp.arange(T)[None, None, :, None]  # [1,1,T,1]
-        in_chunk_causal = (slot >= cache_index) & (slot <= cache_index + qoff)
-        # valid_new[b, j] == attn_mask[b, j - cache_index] inside the chunk
-        valid_new = jax.lax.dynamic_update_slice(
-            jnp.zeros((B, S), jnp.bool_), attn_mask.astype(jnp.bool_), (0, cache_index)
-        )
-        new_vis = in_chunk_causal & valid_new[:, None, None, :]
+        # attention targets = S old cache slots ++ the T chunk tokens.
+        # old slots gated by cache_mask; chunk tokens by causal+attn_mask.
+        S = jax.tree.leaves(cache)[0].shape[3]
         old_vis = (
             cache_mask[:, None, None, :]
             if cache_mask is not None
             else jnp.zeros((B, 1, 1, S), jnp.bool_)
         )
-        bias = jnp.where(old_vis | new_vis, 0.0, NEG_INF).astype(jnp.float32)
+        qoff = jnp.arange(T)[None, None, :, None]
+        koff = jnp.arange(T)[None, None, None, :]
+        new_vis = (koff <= qoff) & attn_mask[:, None, None, :]
+        vis = jnp.concatenate(
+            [jnp.broadcast_to(old_vis, (B, 1, T, S)), jnp.broadcast_to(new_vis, (B, 1, T, T))],
+            axis=3,
+        )
+        bias = jnp.where(vis, 0.0, NEG_INF).astype(jnp.float32)
 
     layer_fn = partial(
         _layer, config=config, cos=cos, sin=sin, bias=bias, flash_bias=flash_bias
@@ -338,21 +336,65 @@ def decoder_forward(
 
     if cache is None:
         def body(x, lp):
-            x, _ = layer_fn(x, lp, cache_kv=None, cache_index=None)
+            x, _ = layer_fn(x, lp, ctx_kv=None)
             return x, None
 
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
-        ck_all, cv_all = cache
+        # The cache rides in the scan CARRY (pytree of [L, B, NKV, S, hd]
+        # stacked leaves) so its in-place dynamic updates alias; each layer
+        # reads its slice and writes only the chunk's new k/v.
+        quantized = isinstance(cache, dict)
+        num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
 
-        def body(x, inputs):
-            lp, ck, cv = inputs
-            x, (nk, nv) = layer_fn(x, lp, cache_kv=(ck, cv), cache_index=cache_index)
-            return x, (nk, nv)
+        def body(carry, inputs):
+            x, c = carry
+            lp, li = inputs
 
-        x, (nk_all, nv_all) = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
-        new_cache = (nk_all, nv_all)
+            if flash_ok:
+                ctx = None  # prefill: the chunk is the whole context
+            elif quantized:
+                kq = jax.lax.dynamic_index_in_dim(c["kq"], li, 0, keepdims=False)
+                ks = jax.lax.dynamic_index_in_dim(c["ks"], li, 0, keepdims=False)
+                vq = jax.lax.dynamic_index_in_dim(c["vq"], li, 0, keepdims=False)
+                vs = jax.lax.dynamic_index_in_dim(c["vs"], li, 0, keepdims=False)
+                ctx = (
+                    kq.astype(jnp.bfloat16) * ks,
+                    vq.astype(jnp.bfloat16) * vs,
+                )
+            else:
+                ctx = (
+                    jax.lax.dynamic_index_in_dim(c[0], li, 0, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(c[1], li, 0, keepdims=False),
+                )
+
+            x, (k_new, v_new) = layer_fn(x, lp, ctx_kv=ctx)
+
+            idx = (li, 0, 0, cache_index, 0)
+            if quantized:
+                kq_n, ks_n = _quantize_kv(k_new)
+                vq_n, vs_n = _quantize_kv(v_new)
+                c = {
+                    "kq": jax.lax.dynamic_update_slice(c["kq"], kq_n[None], idx),
+                    "ks": jax.lax.dynamic_update_slice(c["ks"], ks_n[None], idx),
+                    "vq": jax.lax.dynamic_update_slice(c["vq"], vq_n[None], idx),
+                    "vs": jax.lax.dynamic_update_slice(c["vs"], vs_n[None], idx),
+                }
+            else:
+                c = (
+                    jax.lax.dynamic_update_slice(
+                        c[0], k_new.astype(c[0].dtype)[None], idx
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        c[1], v_new.astype(c[1].dtype)[None], idx
+                    ),
+                )
+            return (x, c), None
+
+        (x, new_cache), _ = jax.lax.scan(
+            body, (x, cache), (params["layers"], jnp.arange(num_layers))
+        )
 
     x = rms_norm(x, params["final_norm"], config.rms_eps)
     return x, new_cache
@@ -385,6 +427,25 @@ def compute_logits(params: dict, hidden: jax.Array) -> jax.Array:
 
 def init_kv_cache(
     config: DecoderConfig, batch_size: int, max_len: int, dtype=jnp.bfloat16
-) -> Tuple[jax.Array, jax.Array]:
+):
+    """Static cache: (k, v) arrays, or an int8-quantized dict layout when
+    config.kv_cache_dtype == 'int8' ({kq, ks, vq, vs}; scales per
+    (layer, batch, head, slot))."""
     shape = (config.num_layers, batch_size, config.num_kv_heads, max_len, config.head_dim)
+    if config.kv_cache_dtype == "int8":
+        sshape = shape[:-1] + (1,)
+        return {
+            "kq": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.ones(sshape, jnp.bfloat16),
+            "vq": jnp.zeros(shape, jnp.int8),
+            "vs": jnp.ones(sshape, jnp.bfloat16),
+        }
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _quantize_kv(x: jax.Array):
+    """[B, N, T, hd] -> (int8 values, per-(B,N,T) scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
