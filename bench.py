@@ -130,7 +130,7 @@ def main():
     def run_corpus(decode_batch: int):
         return pipe.infer_events_corpus(
             load_item, n_videos,
-            encode_batch=min(2, decode_batch),
+            encode_batch=min(4, decode_batch),
             decode_batch=decode_batch,
             max_new_tokens=args.decode_tokens, temperature=0.0,
         )

@@ -448,9 +448,9 @@ class TracePipeline:
         prefixes: list = []   # [L_i, D] device arrays
         masks: list[np.ndarray] = []
         frame_ids: list[np.ndarray] = []
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futures = [pool.submit(prepare_batch, b) for b in batches[:3]]
-            next_submit = 3
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futures = [pool.submit(prepare_batch, b) for b in batches[:4]]
+            next_submit = 4
             for bi in range(len(batches)):
                 prepared = futures[bi].result()
                 if next_submit < len(batches):
