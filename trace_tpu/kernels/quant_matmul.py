@@ -86,6 +86,20 @@ def quant_matmul(
     Np = qp.shape[1]
     nm, nn, nk = Mp // bm, Np // bn, Kp // bk
 
+    import os
+
+    extra = {}
+    if os.environ.get("TRACE_TPU_QMM_HINTS", "1") == "1":
+        extra = dict(
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * Np * Kp,
+                bytes_accessed=xp.nbytes + qp.nbytes + Mp * Np * 2,
+                transcendentals=0,
+            ),
+        )
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, nk=nk),
         grid=(nm, nn, nk),
@@ -99,15 +113,8 @@ def quant_matmul(
         ),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * Kp,
-            bytes_accessed=xp.nbytes + qp.nbytes + Mp * Np * 2,
-            transcendentals=0,
-        ),
         interpret=interpret,
+        **extra,
     )(xp, qp, sp)
     return out[:M, :N]
 
