@@ -88,8 +88,11 @@ def quant_matmul(
 
     import os
 
+    # Compile hints default OFF: with cost_estimate/dimension_semantics set,
+    # the remote Mosaic compile of this kernel inside scan-in-while graphs
+    # hung for 25+ minutes; without them the same graphs compile in seconds.
     extra = {}
-    if os.environ.get("TRACE_TPU_QMM_HINTS", "1") == "1":
+    if os.environ.get("TRACE_TPU_QMM_HINTS", "0") == "1":
         extra = dict(
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
