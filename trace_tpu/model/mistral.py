@@ -245,6 +245,12 @@ def _layer(
         attn_out = attn_out + lora_delta(attn_flat, lp, "wo", config)
     x = x + attn_out
 
+    if "router" in lp:  # Mixtral-family layer: routed expert MLP
+        from trace_tpu.model.moe import moe_mlp
+
+        h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
+        return x + moe_mlp(h, lp, config), new_cache
+
     h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
     gate = jnp.einsum("btd,di->bti", h, lp["w_gate"], preferred_element_type=jnp.float32)
     up = jnp.einsum("btd,di->bti", h, lp["w_up"], preferred_element_type=jnp.float32)

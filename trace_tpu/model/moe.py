@@ -112,3 +112,20 @@ MOE_PARAM_RULES = (
     ("moe/w_up", (None, "model", None, None)),
     ("moe/w_down", (None, "model", None, None)),
 )
+
+
+def init_moe_decoder_params(config: MoEConfig, key: jax.Array, dtype=jnp.float32):
+    """Full Mixtral-family decoder params: Mistral attention stack with the
+    dense MLP weights replaced by routed expert weights (the reference's
+    inactive Mixtral selection, train_mt.py:948-1011, made real)."""
+    from trace_tpu.model.mistral import init_decoder_params
+
+    k1, k2 = jax.random.split(key)
+    params = init_decoder_params(config, k1, dtype=dtype)
+    layers = dict(params["layers"])
+    for name in ("w_gate", "w_up", "w_down"):
+        layers.pop(name)
+    layers.update(init_moe_mlp_params(config, k2, dtype=dtype))
+    params = dict(params)
+    params["layers"] = layers
+    return params
