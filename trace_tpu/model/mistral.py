@@ -150,16 +150,17 @@ def _layer(
     cos: jax.Array,
     sin: jax.Array,
     bias: jax.Array,
-    ctx_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    full_cache=None,            # carried pytree, leaves [L, B, NKV, S, hd]
+    li: Optional[jax.Array] = None,
+    cache_index: Optional[jax.Array] = None,
     flash_bias: Optional[jax.Array] = None,
 ):
-    """One decoder block. Returns (x_out, (k_chunk, v_chunk)).
+    """One decoder block. Returns (x_out, updated_full_cache_or_None).
 
-    The layer never touches the KV cache: the caller supplies the previous
-    context ``ctx_kv`` ([B, NKV, S, hd], already dequantized) and receives the
-    chunk's fresh k/v to write — cache updates live in the scan body so XLA
-    can alias the carried buffers in place (threading the cache through scan
-    outputs copied the whole cache every decode step; measured ~5 ms/step/GB).
+    The KV cache rides the scan CARRY: the layer writes only the chunk's new
+    k/v into its [li] stripe (in-place aliasable) and attends over its slice
+    — write-then-attend, no [S+T] concat buffers. (Threading the cache
+    through scan ys copied the whole cache every decode step.)
 
     When ``flash_bias`` is given (a [B, T] additive padding row) and T > 1,
     attention runs through the Pallas flash kernel over the current chunk
@@ -207,19 +208,49 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    new_cache = None
+    if full_cache is not None:
+        # write the chunk's k/v into this layer's stripe FIRST, then attend
+        # over the slice (which now contains the new tokens)
+        idx = (li, 0, 0, cache_index, 0)
+        if isinstance(full_cache, dict):
+            kq_n, ks_n = _quantize_kv(k)
+            vq_n, vs_n = _quantize_kv(v)
+            c = {
+                "kq": jax.lax.dynamic_update_slice(full_cache["kq"], kq_n[None], idx),
+                "ks": jax.lax.dynamic_update_slice(full_cache["ks"], ks_n[None], idx),
+                "vq": jax.lax.dynamic_update_slice(full_cache["vq"], vq_n[None], idx),
+                "vs": jax.lax.dynamic_update_slice(full_cache["vs"], vs_n[None], idx),
+            }
+        else:
+            c = (
+                jax.lax.dynamic_update_slice(
+                    full_cache[0], k.astype(full_cache[0].dtype)[None], idx
+                ),
+                jax.lax.dynamic_update_slice(
+                    full_cache[1], v.astype(full_cache[1].dtype)[None], idx
+                ),
+            )
+        new_cache = c
+
     if flash_bias is not None and T > 1:
         from trace_tpu.kernels.flash_attention import flash_attention_trainable
 
         attn = flash_attention_trainable(q, k, v, flash_bias, True)
     else:
-        if ctx_kv is None:
+        if full_cache is None:
             k_all, v_all = k, v
+        elif isinstance(full_cache, dict):
+            kq = jax.lax.dynamic_index_in_dim(new_cache["kq"], li, 0, keepdims=False)
+            ks = jax.lax.dynamic_index_in_dim(new_cache["ks"], li, 0, keepdims=False)
+            vq = jax.lax.dynamic_index_in_dim(new_cache["vq"], li, 0, keepdims=False)
+            vs = jax.lax.dynamic_index_in_dim(new_cache["vs"], li, 0, keepdims=False)
+            k_all = kq.astype(jnp.bfloat16) * ks
+            v_all = vq.astype(jnp.bfloat16) * vs
         else:
-            k_ctx, v_ctx = ctx_kv
-            k_all = jnp.concatenate([k_ctx.astype(x.dtype), k], axis=2)
-            v_all = jnp.concatenate([v_ctx.astype(x.dtype), v], axis=2)
+            k_all = jax.lax.dynamic_index_in_dim(new_cache[0], li, 0, keepdims=False)
+            v_all = jax.lax.dynamic_index_in_dim(new_cache[1], li, 0, keepdims=False)
         attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
-    new_cache = (k, v)  # chunk k/v for the caller's cache write
     if is_quantized(lp["wo"]):
         from trace_tpu.kernels.quant_matmul import quant_apply
 
@@ -317,22 +348,24 @@ def decoder_forward(
             causal_m = jnp.tril(jnp.ones((T, T), jnp.bool_))
             bias = bias + jnp.where(causal_m[None, None, :, :], 0.0, NEG_INF)
     else:
-        # attention targets = S old cache slots ++ the T chunk tokens.
-        # old slots gated by cache_mask; chunk tokens by causal+attn_mask.
+        # attention over the S cache slots, which include the chunk written
+        # at cache_index..cache_index+T: a query at chunk offset i sees
+        # previously-valid slots (cache_mask) plus real newly-written slots
+        # up to its own position.
         S = jax.tree.leaves(cache)[0].shape[3]
+        slot = jnp.arange(S)[None, None, None, :]
+        qoff = jnp.arange(T)[None, None, :, None]
+        in_chunk_causal = (slot >= cache_index) & (slot <= cache_index + qoff)
+        valid_new = jax.lax.dynamic_update_slice(
+            jnp.zeros((B, S), jnp.bool_), attn_mask.astype(jnp.bool_), (0, cache_index)
+        )
+        new_vis = in_chunk_causal & valid_new[:, None, None, :]
         old_vis = (
             cache_mask[:, None, None, :]
             if cache_mask is not None
             else jnp.zeros((B, 1, 1, S), jnp.bool_)
         )
-        qoff = jnp.arange(T)[None, None, :, None]
-        koff = jnp.arange(T)[None, None, None, :]
-        new_vis = (koff <= qoff) & attn_mask[:, None, None, :]
-        vis = jnp.concatenate(
-            [jnp.broadcast_to(old_vis, (B, 1, T, S)), jnp.broadcast_to(new_vis, (B, 1, T, T))],
-            axis=3,
-        )
-        bias = jnp.where(vis, 0.0, NEG_INF).astype(jnp.float32)
+        bias = jnp.where(old_vis | new_vis, 0.0, NEG_INF).astype(jnp.float32)
 
     layer_fn = partial(
         _layer, config=config, cos=cos, sin=sin, bias=bias, flash_bias=flash_bias
@@ -342,60 +375,21 @@ def decoder_forward(
 
     if cache is None:
         def body(x, lp):
-            x, _ = layer_fn(x, lp, ctx_kv=None)
+            x, _ = layer_fn(x, lp)
             return x, None
 
         x, _ = jax.lax.scan(body, x, params["layers"])
         new_cache = None
     else:
         # The cache rides in the scan CARRY (pytree of [L, B, NKV, S, hd]
-        # stacked leaves) so its in-place dynamic updates alias; each layer
-        # reads its slice and writes only the chunk's new k/v.
-        quantized = isinstance(cache, dict)
+        # stacked leaves) so its in-place updates alias; the layer writes its
+        # stripe then attends over the slice.
         num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
 
         def body(carry, inputs):
             x, c = carry
             lp, li = inputs
-
-            if flash_ok:
-                ctx = None  # prefill: the chunk is the whole context
-            elif quantized:
-                kq = jax.lax.dynamic_index_in_dim(c["kq"], li, 0, keepdims=False)
-                ks = jax.lax.dynamic_index_in_dim(c["ks"], li, 0, keepdims=False)
-                vq = jax.lax.dynamic_index_in_dim(c["vq"], li, 0, keepdims=False)
-                vs = jax.lax.dynamic_index_in_dim(c["vs"], li, 0, keepdims=False)
-                ctx = (
-                    kq.astype(jnp.bfloat16) * ks,
-                    vq.astype(jnp.bfloat16) * vs,
-                )
-            else:
-                ctx = (
-                    jax.lax.dynamic_index_in_dim(c[0], li, 0, keepdims=False),
-                    jax.lax.dynamic_index_in_dim(c[1], li, 0, keepdims=False),
-                )
-
-            x, (k_new, v_new) = layer_fn(x, lp, ctx_kv=ctx)
-
-            idx = (li, 0, 0, cache_index, 0)
-            if quantized:
-                kq_n, ks_n = _quantize_kv(k_new)
-                vq_n, vs_n = _quantize_kv(v_new)
-                c = {
-                    "kq": jax.lax.dynamic_update_slice(c["kq"], kq_n[None], idx),
-                    "ks": jax.lax.dynamic_update_slice(c["ks"], ks_n[None], idx),
-                    "vq": jax.lax.dynamic_update_slice(c["vq"], vq_n[None], idx),
-                    "vs": jax.lax.dynamic_update_slice(c["vs"], vs_n[None], idx),
-                }
-            else:
-                c = (
-                    jax.lax.dynamic_update_slice(
-                        c[0], k_new.astype(c[0].dtype)[None], idx
-                    ),
-                    jax.lax.dynamic_update_slice(
-                        c[1], v_new.astype(c[1].dtype)[None], idx
-                    ),
-                )
+            x, c = layer_fn(x, lp, full_cache=c, li=li, cache_index=cache_index)
             return (x, c), None
 
         (x, new_cache), _ = jax.lax.scan(
