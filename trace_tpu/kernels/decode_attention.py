@@ -1,0 +1,157 @@
+"""Pallas TPU decode-step attention over the layer-stacked KV cache.
+
+Decode attends each step over a [L, B, NKV, S, hd] cache that rides the
+layer scan's carry.  XLA must materialize the layer's [B, NKV, S, hd]
+slice before the score dot (a dynamic-slice cannot fuse into a dot
+operand), which doubles the cache's HBM traffic every step — measured as
+the dominant per-row decode cost at batch 8 (39 ms/step vs a ~14 ms
+bandwidth roofline).  This kernel reads the stacked cache IN PLACE: the
+layer index arrives as a scalar-prefetch operand and selects the stripe in
+the BlockSpec index maps, so the only HBM traffic is the single streaming
+read the attention itself requires.
+
+Functional replacement for the reference's incremental HF
+`past_key_values` decode path (trace/model/language_model/trace_mistral.py
+via transformers.generate) — python-side growing caches are untraceable
+under jit; here the cache is static and invalid slots are masked by an
+additive bias row.
+
+Handles GQA by blocking q as [B, NKV, G, hd] (the G = H // NKV query heads
+that share one KV stripe are one MXU matmul) and the int8 KV-cache layout
+by dequantizing in-register (int8 values stream at half the bf16 bytes;
+scales are per-slot [S, 1] rows that lane-broadcast).
+
+No cost_estimate / dimension_semantics compiler hints: those caused
+pathological (25+ min) remote compiles for kernels nested in
+scan-inside-while (see kernels/quant_matmul.py, TRACE_TPU_QMM_HINTS).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def decode_attention_impl() -> str:
+    """'pallas' (default) or 'xla' — escape hatch via TRACE_TPU_DECODE_ATTN."""
+    return os.environ.get("TRACE_TPU_DECODE_ATTN", "pallas")
+
+
+def _kernel_bf16(li_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
+    q = q_ref[0, 0]                                   # [G, hd]
+    k = k_ref[0, 0, 0]                                # [S, hd]
+    v = v_ref[0, 0, 0]                                # [S, hd]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                         # [G, S]
+    s = s + bias_ref[0]                               # [1, S] broadcast
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _kernel_int8(
+    li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref, *, scale
+):
+    q = q_ref[0, 0]                                                # [G, hd]
+    k = kq_ref[0, 0, 0].astype(jnp.bfloat16) * ks_ref[0, 0, 0]     # [S, hd]
+    v = vq_ref[0, 0, 0].astype(jnp.bfloat16) * vs_ref[0, 0, 0]
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s + bias_ref[0]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def decode_attention_supported(q: jax.Array, cache) -> bool:
+    """Static eligibility: single-token chunk shapes with tile-legal dims.
+
+    S sits in the sublane position of the [.., S, hd] blocks (multiple of 8);
+    hd is the lane dim (multiple of 128).  The bias block's lane dim is the
+    full S axis (equal-to-array-dim is always tile-legal)."""
+    B, H, T, hd = q.shape
+    leaf = cache["kq"] if isinstance(cache, dict) else cache[0]
+    S = leaf.shape[3]
+    return T == 1 and hd % 128 == 0 and S % 8 == 0 and H % leaf.shape[2] == 0
+
+
+def decode_attention(
+    q: jax.Array,        # [B, H, 1, hd]
+    cache,               # (k, v) [L,B,NKV,S,hd] bf16 | {kq,ks,vq,vs} int8
+    li: jax.Array,       # scalar int32 layer index
+    bias_row: jax.Array, # [B, S] additive fp32 (0 visible / -inf masked)
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """One decode step of attention, reading layer ``li``'s cache stripe in
+    place.  Returns [B, H, 1, hd] in q's dtype."""
+    B, H, T, hd = q.shape
+    quant = isinstance(cache, dict)
+    leaf = cache["kq"] if quant else cache[0]
+    L, _, NKV, S, _ = leaf.shape
+    G = H // NKV
+    scale = hd ** -0.5
+
+    qg = q.reshape(B, NKV, G, hd)
+    li_arr = jnp.reshape(li, (1,)).astype(jnp.int32)
+    # [B, 1, S]: the block's trailing dims (1, S) equal the array dims — the
+    # tile-legal shape for a per-row bias (a (1, S) 2D block has sublane 1,
+    # illegal once B > 1)
+    bias3 = bias_row.astype(jnp.float32)[:, None, :]
+
+    def q_map(b, n, li_ref):
+        return (b, n, 0, 0)
+
+    def kv_map(b, n, li_ref):
+        return (li_ref[0], b, n, 0, 0)
+
+    def bias_map(b, n, li_ref):
+        return (b, 0, 0)
+
+    q_spec = pl.BlockSpec((1, 1, G, hd), q_map)
+    kv_spec = pl.BlockSpec((1, 1, 1, S, hd), kv_map)
+    scale_spec = pl.BlockSpec((1, 1, 1, S, 1), kv_map)
+    bias_spec = pl.BlockSpec((1, 1, S), bias_map)
+
+    if quant:
+        kernel = functools.partial(_kernel_int8, scale=scale)
+        in_specs = [q_spec, kv_spec, scale_spec, kv_spec, scale_spec, bias_spec]
+        operands = (qg, cache["kq"], cache["ks"], cache["vq"], cache["vs"], bias3)
+    else:
+        kernel = functools.partial(_kernel_bf16, scale=scale)
+        in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
+        operands = (qg, cache[0], cache[1], bias3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, NKV),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, G, hd), q_map),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NKV, G, hd), q.dtype),
+        interpret=interpret,
+    )(li_arr, *operands)
+    return out.reshape(B, H, 1, hd)

@@ -142,6 +142,23 @@ def _attention(q, k, v, bias):
     return out.reshape(B, NH, T, HD).astype(q.dtype)
 
 
+def _decode_kernel_ok(q: jax.Array, cache) -> bool:
+    """Route single-token cache attention through the Pallas decode kernel
+    on accelerators (tile-legal shapes only); 'force' enables the CPU
+    interpreter path for tests."""
+    from trace_tpu.kernels.decode_attention import (
+        decode_attention_impl,
+        decode_attention_supported,
+    )
+
+    impl = decode_attention_impl()
+    if impl == "xla":
+        return False
+    if jax.default_backend() == "cpu" and impl != "force":
+        return False
+    return decode_attention_supported(q, cache)
+
+
 def _layer(
     x: jax.Array,
     lp: dict,
@@ -237,6 +254,15 @@ def _layer(
         from trace_tpu.kernels.flash_attention import flash_attention_trainable
 
         attn = flash_attention_trainable(q, k, v, flash_bias, True)
+    elif full_cache is not None and _decode_kernel_ok(q, new_cache):
+        # single-token decode: Pallas kernel reads layer li's stripe of the
+        # stacked cache in place (no [B,NKV,S,hd] slice materialization)
+        from trace_tpu.kernels.decode_attention import decode_attention
+
+        attn = decode_attention(
+            q, new_cache, li, bias[:, 0, 0, :],
+            interpret=jax.default_backend() == "cpu",
+        )
     else:
         if full_cache is None:
             k_all, v_all = k, v
