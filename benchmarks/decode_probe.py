@@ -41,29 +41,32 @@ def main():
     qp2 = dict(qp)
     qp2.pop("embed")
 
-    P, new = 2048, 64
+    # Two decode lengths at the SAME cache_len isolate the per-step decode
+    # cost from prefill: decode_ms = (t_long - t_short) / (long - short).
+    P, short, long_ = 2048, 8, 136
     for B in batches:
         try:
             prefix = jnp.zeros((B, P, 4096), jnp.bfloat16)
-            args = dict(
-                max_new_tokens=new, cache_len=P + new, use_flash=True,
-            )
-            t0 = time.time()
-            tokens, _ = generate_jit(
-                qp2, cfg, prefix, jnp.ones((B, P), bool), emb,
-                jnp.ones((B,), jnp.int32), rng=jax.random.PRNGKey(0), **args,
-            )
-            np.asarray(tokens)
-            t1 = time.time()
-            tokens, _ = generate_jit(
-                qp2, cfg, prefix, jnp.ones((B, P), bool), emb,
-                jnp.ones((B,), jnp.int32), rng=jax.random.PRNGKey(1), **args,
-            )
-            np.asarray(tokens)
-            dt = time.time() - t1
+            times = {}
+            for new in (short, long_):
+                args = dict(max_new_tokens=new, cache_len=P + long_, use_flash=True)
+                t0 = time.time()
+                for i in range(2):
+                    t1 = time.time()
+                    tokens, _ = generate_jit(
+                        qp2, cfg, prefix, jnp.ones((B, P), bool), emb,
+                        jnp.ones((B,), jnp.int32),
+                        rng=jax.random.PRNGKey(i), **args,
+                    )
+                    np.asarray(tokens)
+                times[new] = time.time() - t1
+                compile_s = t1 - t0
+            step_ms = (times[long_] - times[short]) / (long_ - short) * 1e3
+            prefill_s = times[short] - short * step_ms / 1e3
             print(
-                f"B={B}: compile {t1-t0:.0f}s steady {dt:.2f}s "
-                f"-> {B*new/dt:.1f} tok/s agg, {dt/new*1e3:.1f} ms/step",
+                f"B={B}: prefill {prefill_s*1e3:.0f} ms, decode "
+                f"{step_ms:.1f} ms/step ({B/step_ms*1e3:.0f} tok/s agg) "
+                f"[last compile {compile_s:.0f}s]",
                 flush=True,
             )
         except Exception as e:

@@ -409,7 +409,10 @@ def decoder_forward(
     else:
         # The cache rides in the scan CARRY (pytree of [L, B, NKV, S, hd]
         # stacked leaves) so its in-place updates alias; the layer writes its
-        # stripe then attends over the slice.
+        # stripe then attends over the slice. (Fully unrolling this loop for
+        # decode steps was measured SLOWER — 28 vs 17 ms/step at B=1 — the
+        # rolled scan carry aliases fine and the unrolled body schedules
+        # worse.)
         num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
 
         def body(carry, inputs):
