@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--quant", choices=["bf16", "int8"], default="int8",
                     help="int8 = weight-only quantized serving config "
                          "(see BENCH_NOTES.md quality caveat)")
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
+                    help="KV-cache storage dtype; int8 halves cache HBM "
+                         "(enables decode batch >= 32) via the Pallas "
+                         "decode-attention kernel's in-register dequant")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +96,7 @@ def main():
         args.decode_tokens = min(args.decode_tokens, 32)
     else:
         config = TraceConfig(
-            decoder=DecoderConfig(),       # Mistral-7B
+            decoder=DecoderConfig(kv_cache_dtype=args.kv),  # Mistral-7B
             vision=VisionConfig(),          # CLIP ViT-L/14-336
             num_frames=args.frames,
             dtype=jnp.bfloat16,

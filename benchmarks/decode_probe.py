@@ -25,8 +25,11 @@ from trace_tpu.runtime.generate import build_combined_embedding, generate_jit
 
 
 def main():
+    import dataclasses
+    import os
+
     batches = [int(a) for a in sys.argv[1:]] or [1, 8, 16]
-    cfg = DecoderConfig()
+    cfg = DecoderConfig(kv_cache_dtype=os.environ.get("TRACE_TPU_KV", "bf16"))
     qshapes = jax.eval_shape(
         lambda k: quantize_decoder_params(
             init_decoder_params(cfg, k, dtype=jnp.bfloat16)
