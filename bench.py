@@ -137,20 +137,31 @@ def main():
             encode_batch=min(4, decode_batch),
             decode_batch=decode_batch,
             max_new_tokens=args.decode_tokens, temperature=0.0,
+            # big-batch decode needs the tower's HBM back (cache ~2.3 GB per
+            # 8 rows next to 7 GB int8 weights); smaller batches skip the
+            # ~40 s tunneled host round-trip
+            offload_vision=True if decode_batch >= 16 else None,
         )
 
     B = args.batch
     t0 = time.perf_counter()
+    attempts = 0
     while B >= 1:
         try:
             run_corpus(B)  # compile + warmup at this batch size
             break
         except Exception as e:
+            attempts += 1
+            # the tunneled remote compiler fails transiently (HTTP 500) when
+            # the device is near-full; retry once before giving up the size
+            retry = attempts % 2 == 1 and "500" in str(e)
             print(
-                f"decode_batch={B} failed ({type(e).__name__}: {str(e)[:160]}); halving",
+                f"decode_batch={B} failed ({type(e).__name__}: {str(e)[:160]}); "
+                + ("retrying" if retry else "halving"),
                 flush=True,
             )
-            B = B // 2
+            if not retry:
+                B = B // 2
     if B < 1:
         raise RuntimeError("no decode batch size fits")
     compile_t = time.perf_counter() - t0

@@ -153,24 +153,30 @@ def flash_attention(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention_trainable(q, k, v, mask_bias, causal: bool = False):
-    """Differentiable flash attention: Pallas forward (VMEM-only scores),
-    XLA-recompute backward.  The forward pass of training never materializes
-    [B, H, T, S] scores; the backward pass recomputes them transiently (the
-    same trade jax.checkpoint makes layer-wide)."""
+    """Differentiable flash attention, scores VMEM-only in BOTH directions:
+    the forward saves the per-row logsumexp residual and the backward
+    recomputes score blocks inside the Pallas dq / dkv kernels
+    (kernels/flash_backward.py) — nothing [B, H, Tq, Tk]-shaped ever
+    reaches HBM."""
     return flash_attention(q, k, v, mask_bias, causal=causal)
 
 
 def _fat_fwd(q, k, v, mask_bias, causal):
-    return flash_attention(q, k, v, mask_bias, causal=causal), (q, k, v, mask_bias)
+    from trace_tpu.kernels.flash_backward import flash_attention_fwd_res
+
+    o, lse = flash_attention_fwd_res(q, k, v, mask_bias, causal=causal)
+    return o, (q, k, v, mask_bias, o, lse)
 
 
 def _fat_bwd(causal, res, g):
-    q, k, v, mask_bias = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_, m_: xla_attention(q_, k_, v_, m_, causal=causal),
-        q, k, v, mask_bias,
+    from trace_tpu.kernels.flash_backward import flash_attention_bwd
+
+    q, k, v, mask_bias, o, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, mask_bias, o, lse, g, causal=causal
     )
-    return vjp(g)
+    dmask = None if mask_bias is None else jnp.zeros_like(mask_bias)
+    return dq, dk, dv, dmask
 
 
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
