@@ -8,11 +8,22 @@ from trace_tpu.kernels import flash_attention as FA
 
 
 def test_grads_match_xla(monkeypatch):
-    # run the Pallas forward in interpret mode on CPU
+    # run the Pallas kernels in interpret mode on CPU
+    from trace_tpu.kernels import flash_backward as FB
+
     orig = FA.flash_attention
     monkeypatch.setattr(
         FA, "flash_attention",
         lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+    )
+    orig_fwd, orig_bwd = FB.flash_attention_fwd_res, FB.flash_attention_bwd
+    monkeypatch.setattr(
+        FB, "flash_attention_fwd_res",
+        lambda *a, **kw: orig_fwd(*a, **{**kw, "interpret": True}),
+    )
+    monkeypatch.setattr(
+        FB, "flash_attention_bwd",
+        lambda *a, **kw: orig_bwd(*a, **{**kw, "interpret": True}),
     )
 
     B, H, T, hd = 1, 2, 128, 64

@@ -16,6 +16,7 @@ No ragged shapes, no per-row Python — everything jits and shards.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -65,6 +66,34 @@ def tokens_per_frame(config: TraceConfig) -> int:
     return config.num_slots + TIME_TOKENS_PER_FRAME
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _frozen_tower(vision_params, flat, vcfg, chunk, use_flash):
+    """Chunked frozen-ViT forward, opaque to autodiff (zero-grad vjp)."""
+    vit = lambda c: vit_forward(vision_params, vcfg, c, use_flash=use_flash)
+    if chunk and flat.shape[0] > chunk and flat.shape[0] % chunk == 0:
+        chunks = flat.reshape((flat.shape[0] // chunk, chunk) + flat.shape[1:])
+        feats = jax.lax.map(vit, chunks)
+        return feats.reshape((flat.shape[0],) + feats.shape[2:])
+    return vit(flat)  # [B*T, N, D]
+
+
+def _frozen_tower_fwd(vision_params, flat, vcfg, chunk, use_flash):
+    out = _frozen_tower(vision_params, flat, vcfg, chunk, use_flash)
+    specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), vision_params
+    )
+    return out, (specs, jax.ShapeDtypeStruct(flat.shape, flat.dtype))
+
+
+def _frozen_tower_bwd(vcfg, chunk, use_flash, res, g):
+    pspecs, fspec = res
+    zero_p = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), pspecs)
+    return zero_p, jnp.zeros(fspec.shape, fspec.dtype)
+
+
+_frozen_tower.defvjp(_frozen_tower_fwd, _frozen_tower_bwd)
+
+
 def encode_video(
     params: dict,
     config: TraceConfig,
@@ -80,20 +109,17 @@ def encode_video(
     (the per-frame <sync> is dropped), flatten time-major.
 
     The vision tower is frozen in every training stage (clip_encoder.py:27,
-    @torch.no_grad at :41), so its output is stop_gradient'ed: the backward
-    pass never descends into the ViT.
+    @torch.no_grad at :41).  It runs inside a custom_vjp whose backward is
+    zeros — equivalent to @torch.no_grad, and necessary beyond
+    stop_gradient: autodiff's partial-eval would otherwise still transpose
+    the chunked lax.map around the Pallas flash call, which Mosaic's
+    lowering rejects (grid_context assertion).
     """
     B, T = frames.shape[:2]
     flat = frames.reshape((B * T,) + frames.shape[2:])
-    chunk = config.vit_chunk_size
-    vit = lambda c: vit_forward(params["vision"], config.vision, c, use_flash=use_flash)
-    if chunk and flat.shape[0] > chunk and flat.shape[0] % chunk == 0:
-        chunks = flat.reshape((flat.shape[0] // chunk, chunk) + flat.shape[1:])
-        feats = jax.lax.map(vit, chunks)
-        feats = feats.reshape((B * T,) + feats.shape[2:])
-    else:
-        feats = vit(flat)  # [B*T, N, D]
-    feats = jax.lax.stop_gradient(feats)
+    feats = _frozen_tower(
+        params["vision"], flat, config.vision, config.vit_chunk_size, use_flash
+    )
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
 
     _, conn_fwd = connector_lib.build_connector(config.mm_projector_type)
@@ -140,6 +166,7 @@ def forward_train(
     batch: dict,
     *,
     remat: bool = True,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, dict]:
     """Training forward: summed 3-stream CE loss (reference: trace_mistral.py:218-237).
 
@@ -151,7 +178,10 @@ def forward_train(
     """
     from trace_tpu.constants import IGNORE_INDEX
 
-    video_feats = encode_video(params, config, batch["frames"], batch["frame_time_ids"])
+    video_feats = encode_video(
+        params, config, batch["frames"], batch["frame_time_ids"],
+        use_flash=use_flash,
+    )
     embeds = build_input_embeds(
         params, config, batch["token_ids"], video_feats, batch["video_pos"]
     )
@@ -160,9 +190,13 @@ def forward_train(
     positions = jnp.maximum(
         jnp.cumsum(batch["attn_mask"].astype(jnp.int32), axis=1) - 1, 0
     )
+    # use_flash routes the LM through flash_attention_trainable: Pallas
+    # forward + Pallas dq/dkv backward (kernels/flash_backward.py), scores
+    # VMEM-only in both directions. The frozen vision tower takes the
+    # forward-only kernel (stop_gradient upstream).
     hidden, _ = decoder_forward(
         params["decoder"], config.decoder, embeds, batch["attn_mask"], positions,
-        remat=remat,
+        remat=remat, use_flash=use_flash,
     )
     logits = compute_logits(params["decoder"], hidden)  # [B, L, CV] fp32
 

@@ -161,8 +161,21 @@ def preprocess_batch_frames(frames_u8: jax.Array, config: TraceConfig) -> jax.Ar
     return jax.vmap(fn)(frames_u8).astype(config.dtype)
 
 
-def make_train_step(config: TraceConfig, tx: optax.GradientTransformation, *, remat: bool = True):
-    """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics)."""
+def make_train_step(
+    config: TraceConfig,
+    tx: optax.GradientTransformation,
+    *,
+    remat: bool = True,
+    use_flash: Optional[bool] = None,
+):
+    """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics).
+
+    use_flash=None picks the Pallas flash kernels (fwd + dq/dkv bwd) on
+    accelerators and the XLA path on CPU."""
+    if use_flash is None:
+        from trace_tpu.runtime.generate import default_use_flash
+
+        use_flash = default_use_flash()
 
     def train_step(params, opt_state, batch):
         if "frames" not in batch:
@@ -170,7 +183,7 @@ def make_train_step(config: TraceConfig, tx: optax.GradientTransformation, *, re
             batch["frames"] = preprocess_batch_frames(batch.pop("frames_u8"), config)
 
         def loss_fn(p):
-            return forward_train(p, config, batch, remat=remat)
+            return forward_train(p, config, batch, remat=remat, use_flash=use_flash)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
