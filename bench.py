@@ -71,6 +71,12 @@ def main():
                     help="KV-cache storage dtype; int8 halves cache HBM "
                          "(enables decode batch >= 32) via the Pallas "
                          "decode-attention kernel's in-register dequant")
+    ap.add_argument("--precompile-decode", action="store_true",
+                    help="compile the --batch decode executable into the "
+                         "persistent cache and exit. The tunneled compiler "
+                         "fails transiently (HTTP 500) in long-lived "
+                         "processes near full HBM; priming from a fresh "
+                         "process lets the real bench hit the cache.")
     args = ap.parse_args()
 
     import jax
@@ -131,6 +137,40 @@ def main():
     def load_item(i):
         return frames_all[i], ts, instruction
 
+    if args.precompile_decode:
+        # one real encode fixes the prefix length; replicate it to the
+        # decode batch and trace the exact corpus-mode generate call
+        from trace_tpu.runtime import generate as gen
+
+        pipe._prepare_memory_layout()
+        s = pipe._prepare_sample_host(frames_all[0], ts, instruction)
+        prefix, mask = pipe._encode_prepared([s])
+        prefix_b = jnp.broadcast_to(prefix, (args.batch,) + prefix.shape[1:])
+        mask_b = jnp.broadcast_to(mask, (args.batch,) + mask.shape[1:])
+        t0 = time.perf_counter()
+        kw = dict(
+            max_new_tokens=args.decode_tokens, initial_head=1,
+            temperature=0.0, eos_id=tok.eos_token_id, seed=0,
+        )
+        if args.batch > 8:
+            out = gen.generate_split(
+                pipe._decoder_params, config.decoder,
+                jnp.asarray(prefix_b), jnp.asarray(mask_b), pipe._combined,
+                prefill_batch=8, **kw,
+            )
+        else:
+            out = gen.generate(
+                pipe._decoder_params, config.decoder,
+                jnp.asarray(prefix_b), jnp.asarray(mask_b), pipe._combined,
+                **kw,
+            )
+        print(
+            f"precompiled decode batch={args.batch} prefix={prefix.shape[1]} "
+            f"in {time.perf_counter()-t0:.0f}s -> .jax_cache",
+            flush=True,
+        )
+        return
+
     def run_corpus(decode_batch: int):
         return pipe.infer_events_corpus(
             load_item, n_videos,
@@ -141,6 +181,10 @@ def main():
             # 8 rows next to 7 GB int8 weights); smaller batches skip the
             # ~40 s tunneled host round-trip
             offload_vision=True if decode_batch >= 16 else None,
+            # prefill's B*P*D activations cap the monolithic batch at 8 on
+            # one chip; the serving-style split prefills at 8 and decodes
+            # the merged cache at the full batch
+            prefill_batch=8 if decode_batch > 8 else None,
         )
 
     B = args.batch

@@ -1,0 +1,97 @@
+"""Serving-style prefill/decode split == monolithic generate_jit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from trace_tpu.model.config import DecoderConfig
+from trace_tpu.model.mistral import init_decoder_params, init_kv_cache
+from trace_tpu.runtime.generate import (
+    build_combined_embedding,
+    decode_jit,
+    generate_jit,
+    merge_cache_rows,
+    prefill_jit,
+)
+
+CFG = DecoderConfig.tiny()
+
+
+def _setup(key):
+    params = init_decoder_params(CFG, key)
+    emb = build_combined_embedding(
+        params["embed"], jnp.zeros((1, CFG.hidden_size)),
+        jnp.zeros((CFG.time_vocab_size, CFG.hidden_size)),
+        jnp.zeros((CFG.score_vocab_size, CFG.hidden_size)),
+    )
+    B, P, new = 4, 8, 12
+    prefix = jax.random.normal(jax.random.PRNGKey(7), (B, P, CFG.hidden_size)) * 0.1
+    # two rows left-padded to different real lengths
+    mask = jnp.ones((B, P), bool).at[0, :3].set(False).at[2, :1].set(False)
+    return params, emb, prefix, mask, B, P, new
+
+
+@pytest.mark.parametrize("sub", [2, 4])
+def test_split_matches_monolithic(sub):
+    params, emb, prefix, mask, B, P, new = _setup(jax.random.PRNGKey(0))
+    S = P + new
+    heads = jnp.ones((B,), jnp.int32)
+
+    want_tokens, want_num = generate_jit(
+        params, CFG, prefix, mask, emb, heads,
+        max_new_tokens=new, cache_len=S, rng=jax.random.PRNGKey(0),
+    )
+
+    # prefill in sub-batches, merge into the big cache, decode once
+    big = init_kv_cache(CFG, B, S, dtype=prefix.dtype)
+    cms, lhs, nps = [], [], []
+    for r in range(0, B, sub):
+        cache, cm, lh, np_ = prefill_jit(
+            params, CFG, prefix[r : r + sub], mask[r : r + sub],
+            cache_len=S, use_flash=False,
+        )
+        big = merge_cache_rows(big, cache, jnp.int32(r))
+        cms.append(cm)
+        lhs.append(lh)
+        nps.append(np_)
+
+    got_tokens, got_num = decode_jit(
+        params, CFG, big, jnp.concatenate(cms), jnp.concatenate(lhs),
+        jnp.concatenate(nps), emb, heads,
+        prefix_len=P, max_new_tokens=new, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(np.asarray(got_tokens), np.asarray(want_tokens))
+    np.testing.assert_array_equal(np.asarray(got_num), np.asarray(want_num))
+
+
+def test_split_int8_cache():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kv_cache_dtype="int8")
+    params = init_decoder_params(cfg, jax.random.PRNGKey(1))
+    emb = build_combined_embedding(
+        params["embed"], jnp.zeros((1, cfg.hidden_size)),
+        jnp.zeros((cfg.time_vocab_size, cfg.hidden_size)),
+        jnp.zeros((cfg.score_vocab_size, cfg.hidden_size)),
+    )
+    B, P, new = 2, 8, 6
+    S = P + new
+    prefix = jax.random.normal(jax.random.PRNGKey(2), (B, P, cfg.hidden_size)) * 0.1
+    mask = jnp.ones((B, P), bool)
+    heads = jnp.ones((B,), jnp.int32)
+
+    want, _ = generate_jit(
+        params, cfg, prefix, mask, emb, heads,
+        max_new_tokens=new, cache_len=S, rng=jax.random.PRNGKey(0),
+    )
+    big = init_kv_cache(cfg, B, S)
+    cache, cm, lh, np_ = prefill_jit(
+        params, cfg, prefix, mask, cache_len=S, use_flash=False
+    )
+    big = merge_cache_rows(big, cache, jnp.int32(0))
+    got, _ = decode_jit(
+        params, cfg, big, cm, lh, np_, emb, heads,
+        prefix_len=P, max_new_tokens=new, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -184,10 +184,24 @@ def generate_jit(
     assert cache_len >= P + max_new_tokens, "cache too small"
     c = config
 
-    cache = init_kv_cache(c, B, cache_len, dtype=prefix_embeds.dtype)
-    mask_table = head_mask_table(c)
+    cache, cache_mask, last_hidden, next_pos = _prefill(
+        params, c, prefix_embeds, prefix_mask,
+        cache_len=cache_len, use_flash=use_flash,
+    )
+    return _decode_from_state(
+        params, c, cache, cache_mask, last_hidden, next_pos,
+        combined_embed, initial_head,
+        prefix_len=P, max_new_tokens=max_new_tokens, temperature=temperature,
+        eos_id=eos_id, constrain_time=constrain_time,
+        frame_time_ids=frame_time_ids, rng=rng,
+        embed_dtype=prefix_embeds.dtype,
+    )
 
-    # --- prefill ---------------------------------------------------------
+
+def _prefill(params, c, prefix_embeds, prefix_mask, *, cache_len, use_flash):
+    """Prefill phase: returns (cache, cache_mask, last_hidden, next_pos)."""
+    B, P, D = prefix_embeds.shape
+    cache = init_kv_cache(c, B, cache_len, dtype=prefix_embeds.dtype)
     positions = jnp.maximum(jnp.cumsum(prefix_mask.astype(jnp.int32), axis=1) - 1, 0)
     hidden, cache = decoder_forward(
         params, c, prefix_embeds, prefix_mask, positions,
@@ -196,9 +210,26 @@ def generate_jit(
         use_flash=use_flash,
     )
     cache_mask = jnp.pad(prefix_mask.astype(jnp.bool_), ((0, 0), (0, cache_len - P)))
-
     last_hidden = hidden[:, -1, :]  # content is right-aligned
     next_pos = jnp.sum(prefix_mask.astype(jnp.int32), axis=1)  # [B]
+    return cache, cache_mask, last_hidden, next_pos
+
+
+prefill_jit = partial(
+    jax.jit, static_argnames=("c", "cache_len", "use_flash")
+)(_prefill)
+
+
+def _decode_from_state(
+    params, c, cache, cache_mask, last_hidden, next_pos,
+    combined_embed, initial_head, *,
+    prefix_len, max_new_tokens, temperature, eos_id,
+    constrain_time, frame_time_ids, rng, embed_dtype,
+):
+    """FSM decode loop from a prefilled cache (the serving decode phase)."""
+    B = last_hidden.shape[0]
+    P = prefix_len
+    mask_table = head_mask_table(c)
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -256,7 +287,7 @@ def generate_jit(
 
     def body(s):
         step = s["step"]
-        cur_embed = combined_embed[s["cur_tok"]].astype(prefix_embeds.dtype)
+        cur_embed = combined_embed[s["cur_tok"]].astype(embed_dtype)
         write_idx = P + step - 1  # slot for the token being fed in
         hidden, cache = decoder_forward(
             params, c,
@@ -295,6 +326,61 @@ def generate_jit(
     final = jax.lax.while_loop(cond, body, state)
     num = jnp.sum(final["tokens"] != PAD_OUTPUT_ID, axis=1)
     return final["tokens"], num
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "prefix_len", "max_new_tokens", "temperature", "eos_id",
+        "constrain_time",
+    ),
+    donate_argnums=(2,),  # the cache is consumed in place
+)
+def decode_jit(
+    params: dict,
+    config: DecoderConfig,
+    cache,                      # from prefill_jit / merge_cache_rows
+    cache_mask: jax.Array,      # [B, S] bool
+    last_hidden: jax.Array,     # [B, D]
+    next_pos: jax.Array,        # [B] int32
+    combined_embed: jax.Array,  # [CV, D]
+    initial_head: jax.Array,    # [B] int32
+    *,
+    prefix_len: int,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    eos_id: int = 2,
+    constrain_time: bool = False,
+    frame_time_ids: Optional[jax.Array] = None,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode phase as its own executable (serving-style prefill/decode
+    split).  Lets prefill run at a smaller batch than decode: prefill's
+    activation working set is ~B*P*D while decode's is ~B*D, so on a full
+    chip the decode batch can be 2x the largest prefill batch that fits.
+    All rows must share prefix_len (pipeline pads to the common bucket)."""
+    embed_dtype = jax.tree.leaves(cache)[0].dtype
+    if isinstance(cache, dict):  # int8 layout stores values as int8
+        embed_dtype = combined_embed.dtype
+    return _decode_from_state(
+        params, config, cache, cache_mask, last_hidden, next_pos,
+        combined_embed, initial_head,
+        prefix_len=prefix_len, max_new_tokens=max_new_tokens,
+        temperature=temperature, eos_id=eos_id,
+        constrain_time=constrain_time, frame_time_ids=frame_time_ids,
+        rng=rng, embed_dtype=embed_dtype,
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def merge_cache_rows(big, small, row: jax.Array):
+    """Write `small`'s batch rows into `big` at batch offset `row`, in
+    place (donated).  Caches are [L, B, NKV, S, hd]-stacked pytrees."""
+    def put(b, s):
+        idx = (jnp.int32(0), row.astype(jnp.int32)) + (jnp.int32(0),) * (b.ndim - 2)
+        return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), idx)
+
+    return jax.tree.map(put, big, small)
 
 
 def generate(
@@ -336,6 +422,71 @@ def generate(
         combined_embed, heads,
         max_new_tokens=max_new_tokens, cache_len=cache_len,
         temperature=temperature, eos_id=eos_id, use_flash=use_flash,
+        constrain_time=constrain_time, frame_time_ids=frame_time_ids,
+        rng=jax.random.PRNGKey(seed),
+    )
+    return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))
+
+
+def generate_split(
+    params: dict,
+    config: DecoderConfig,
+    prefix_embeds: jax.Array,
+    prefix_mask: jax.Array,
+    combined_embed: jax.Array,
+    *,
+    prefill_batch: int,
+    max_new_tokens: int = 1024,
+    initial_head: int = 1,
+    temperature: float = 0.0,
+    eos_id: int = 2,
+    seed: int = 0,
+    pad_to_multiple: int = 128,
+    use_flash: Optional[bool] = None,
+    constrain_time: bool = False,
+    frame_time_ids: Optional[jax.Array] = None,
+) -> GenerateOutput:
+    """generate() with the serving-style prefill/decode split: prefill runs
+    in `prefill_batch` sub-batches that fill one decode-batch cache in place
+    (merge_cache_rows donates), then a single decode executable runs the
+    full batch.  Prefill's activation working set (~B*P*D) is what caps the
+    monolithic batch on a full chip; decode's (~B*D) is not."""
+    B, P, D = prefix_embeds.shape
+    bucket = max(
+        pad_to_multiple,
+        ((P + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple,
+    )
+    if bucket != P:
+        pad = bucket - P
+        prefix_embeds = jnp.pad(prefix_embeds, ((0, 0), (pad, 0), (0, 0)))
+        prefix_mask = jnp.pad(prefix_mask, ((0, 0), (pad, 0)))
+    prefix_mask = prefix_mask.astype(jnp.bool_)
+    if use_flash is None:
+        use_flash = default_use_flash()
+    cache_len = bucket + max_new_tokens
+
+    big = init_kv_cache(config, B, cache_len, dtype=prefix_embeds.dtype)
+    cms, lhs, nps = [], [], []
+    for r in range(0, B, prefill_batch):
+        cache, cm, lh, npos = prefill_jit(
+            params, config,
+            prefix_embeds[r : r + prefill_batch],
+            prefix_mask[r : r + prefill_batch],
+            cache_len=cache_len, use_flash=use_flash,
+        )
+        big = merge_cache_rows(big, cache, jnp.int32(r))
+        del cache
+        cms.append(cm)
+        lhs.append(lh)
+        nps.append(npos)
+
+    heads = jnp.full((B,), initial_head, jnp.int32)
+    tokens, num = decode_jit(
+        params, config, big,
+        jnp.concatenate(cms), jnp.concatenate(lhs), jnp.concatenate(nps),
+        combined_embed, heads,
+        prefix_len=bucket, max_new_tokens=max_new_tokens,
+        temperature=temperature, eos_id=eos_id,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
         rng=jax.random.PRNGKey(seed),
     )

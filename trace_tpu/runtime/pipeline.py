@@ -408,13 +408,19 @@ class TracePipeline:
         seed: int = 0,
         constrain_time: bool = False,
         offload_vision: Optional[bool] = None,
+        prefill_batch: Optional[int] = None,
     ) -> list[EventPredictions]:
         """Encode every video first (vision tower resident), then batch-decode.
 
         The tower offloads to host between the phases only when it must
         (bf16 weights leave no HBM headroom); with int8 weights everything
         fits and the 0.6 GB host round-trip (~40 s over a tunneled link) is
-        skipped."""
+        skipped.
+
+        prefill_batch < decode_batch runs the serving-style split: prefill
+        sub-batches fill a shared decode-batch cache (prefill's activation
+        working set ~B*P*D caps its batch well below what the ~B*D decode
+        loop sustains), then one decode executable runs the full batch."""
         if offload_vision is None:
             from trace_tpu.model.quantize import is_quantized
 
@@ -494,14 +500,23 @@ class TracePipeline:
             prefix = jnp.stack(rows)
             fids = jnp.asarray(np.stack([frame_ids[i] for i in chunk])) \
                 if constrain_time else None
-            out = gen.generate(
-                self._decoder_params, self.config.decoder,
-                jnp.asarray(prefix), jnp.asarray(mask),
-                self._combined,
+            gen_kwargs = dict(
                 max_new_tokens=max_new_tokens, initial_head=1,
                 temperature=temperature, eos_id=self.tokenizer.eos_token_id,
                 seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
             )
+            if prefill_batch is not None and prefill_batch < B:
+                out = gen.generate_split(
+                    self._decoder_params, self.config.decoder,
+                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                    prefill_batch=prefill_batch, **gen_kwargs,
+                )
+            else:
+                out = gen.generate(
+                    self._decoder_params, self.config.decoder,
+                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                    **gen_kwargs,
+                )
             for b in range(B):
                 ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
                 results.append(decode_event_stream(
