@@ -28,13 +28,17 @@ def _random_case(key, quant):
         vq, vscale = _quantize_kv(v.reshape(L * B, NKV, S, HD))
         cache = {
             "kq": kq.reshape(L, B, NKV, S, HD),
-            "ks": kscale.reshape(L, B, NKV, S, 1),
+            "ks": kscale.reshape(L, B, NKV, 1, S),
             "vq": vq.reshape(L, B, NKV, S, HD),
-            "vs": vscale.reshape(L, B, NKV, S, 1),
+            "vs": vscale.reshape(L, B, NKV, 1, S),
         }
         # the XLA reference attends over the dequantized cache
-        k_ref = (cache["kq"].astype(jnp.float32) * cache["ks"].astype(jnp.float32))
-        v_ref = (cache["vq"].astype(jnp.float32) * cache["vs"].astype(jnp.float32))
+        k_ref = cache["kq"].astype(jnp.float32) * jnp.swapaxes(
+            cache["ks"], -1, -2
+        ).astype(jnp.float32)
+        v_ref = cache["vq"].astype(jnp.float32) * jnp.swapaxes(
+            cache["vs"], -1, -2
+        ).astype(jnp.float32)
     else:
         cache = (k, v)
         k_ref, v_ref = k, v

@@ -48,4 +48,6 @@ def test_int8_cache_structure():
     c = init_kv_cache(CFG_INT8, 2, 16)
     assert set(c.keys()) == {"kq", "ks", "vq", "vs"}
     assert c["kq"].dtype == jnp.int8
-    assert c["ks"].shape == c["kq"].shape[:-1] + (1,)
+    # scales keep the slot axis in the LANE dim ([.., 1, S]): a trailing
+    # singleton pads 128x under TPU (8,128) tiling
+    assert c["ks"].shape == c["kq"].shape[:-2] + (1, c["kq"].shape[-2])

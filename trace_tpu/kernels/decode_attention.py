@@ -65,19 +65,25 @@ def _kernel_bf16(li_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
 def _kernel_int8(
     li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref, *, scale
 ):
+    # scales arrive as [1, S] rows (slot in the lane dim — a [S, 1] layout
+    # pads 128x on TPU); per-slot scaling factors out of the dots:
+    #   q . (kq * ks)^T == (q . kq^T) * ks_row
+    #   p . (vq * vs)   == (p * vs_row) . vq
     q = q_ref[0, 0]                                                # [G, hd]
-    k = kq_ref[0, 0, 0].astype(jnp.bfloat16) * ks_ref[0, 0, 0]     # [S, hd]
-    v = vq_ref[0, 0, 0].astype(jnp.bfloat16) * vs_ref[0, 0, 0]
+    kq = kq_ref[0, 0, 0].astype(jnp.bfloat16)                      # [S, hd]
+    vq = vq_ref[0, 0, 0].astype(jnp.bfloat16)
+    ks = ks_ref[0, 0, 0].astype(jnp.float32)                       # [1, S]
+    vs = vs_ref[0, 0, 0].astype(jnp.bfloat16)
     s = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), k, (((1,), (1,)), ((), ())),
+        q.astype(jnp.bfloat16), kq, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    ) * ks * scale
     s = s + bias_ref[0]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+        (p.astype(jnp.bfloat16) * vs), vq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) / jnp.maximum(l, 1e-30)
     o_ref[0, 0] = o.astype(o_ref.dtype)
@@ -130,7 +136,7 @@ def decode_attention(
 
     q_spec = pl.BlockSpec((1, 1, G, hd), q_map)
     kv_spec = pl.BlockSpec((1, 1, 1, S, hd), kv_map)
-    scale_spec = pl.BlockSpec((1, 1, 1, S, 1), kv_map)
+    scale_spec = pl.BlockSpec((1, 1, 1, 1, S), kv_map)  # scales [L,B,N,1,S]
     bias_spec = pl.BlockSpec((1, 1, S), bias_map)
 
     if quant:
