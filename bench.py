@@ -62,14 +62,15 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
     ap.add_argument("--videos", type=int, default=2, help="timed batches")
-    ap.add_argument("--batch", type=int, default=8, help="videos per batch")
+    ap.add_argument("--batch", type=int, default=16, help="videos per batch")
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
     ap.add_argument("--quant", choices=["bf16", "int8"], default="int8",
                     help="int8 = weight-only quantized serving config "
                          "(see BENCH_NOTES.md quality caveat)")
-    ap.add_argument("--kv", choices=["bf16", "int8"], default="bf16",
-                    help="KV-cache storage dtype; int8 halves cache HBM "
-                         "(enables decode batch >= 32) via the Pallas "
+    ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
+                    help="KV-cache storage dtype; int8 halves cache HBM — "
+                         "what lets decode batch 16 fit next to 7 GB int8 "
+                         "weights (0.73 vs 0.59 videos/s) via the Pallas "
                          "decode-attention kernel's in-register dequant")
     ap.add_argument("--precompile-decode", action="store_true",
                     help="compile the --batch decode executable into the "
@@ -182,9 +183,10 @@ def main():
             # ~40 s tunneled host round-trip
             offload_vision=True if decode_batch >= 16 else None,
             # prefill's B*P*D activations cap the monolithic batch at 8 on
-            # one chip; the serving-style split prefills at 8 and decodes
-            # the merged cache at the full batch
-            prefill_batch=8 if decode_batch > 8 else None,
+            # one chip; the serving-style split prefills at 4 (halves the
+            # temp cache + working set next to the decode-batch cache) and
+            # decodes the merged cache at the full batch
+            prefill_batch=4 if decode_batch > 8 else None,
         )
 
     B = args.batch

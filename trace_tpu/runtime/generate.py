@@ -465,7 +465,8 @@ def generate_split(
         use_flash = default_use_flash()
     cache_len = bucket + max_new_tokens
 
-    big = init_kv_cache(config, B, cache_len, dtype=prefix_embeds.dtype)
+    embed_dtype = prefix_embeds.dtype
+    big = init_kv_cache(config, B, cache_len, dtype=embed_dtype)
     cms, lhs, nps = [], [], []
     for r in range(0, B, prefill_batch):
         cache, cm, lh, npos = prefill_jit(
@@ -479,6 +480,9 @@ def generate_split(
         cms.append(cm)
         lhs.append(lh)
         nps.append(npos)
+    # the prefix embeds (~B*P*D bf16) are dead once prefilled — free them
+    # before the decode executable allocates its temps
+    del prefix_embeds
 
     heads = jnp.full((B,), initial_head, jnp.int32)
     tokens, num = decode_jit(

@@ -498,6 +498,11 @@ class TracePipeline:
                 rows.append(row)
                 mask[b, L - pl :] = masks[i]
             prefix = jnp.stack(rows)
+            # the stacked copy owns the data now; free the per-video
+            # device buffers before the decode program allocates
+            for i in chunk:
+                prefixes[i] = None
+            del rows
             fids = jnp.asarray(np.stack([frame_ids[i] for i in chunk])) \
                 if constrain_time else None
             gen_kwargs = dict(
