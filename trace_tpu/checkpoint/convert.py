@@ -59,7 +59,17 @@ def load_torch_bin(path: str) -> Dict[str, Array]:
 
 
 def load_checkpoint_tensors(path: str) -> Dict[str, Array]:
-    """Load tensors from a checkpoint dir (safetensors preferred, .bin fallback)."""
+    """Load tensors from a checkpoint dir (safetensors preferred, .bin
+    fallback) or a single .bin / .safetensors file (e.g. mm_projector.bin)."""
+    if os.path.isfile(path):
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return dict(load_file(path))
+        import torch
+
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: v.float().numpy() for k, v in state.items()}
     if any(f.endswith(".safetensors") for f in os.listdir(path)):
         return load_safetensors_dir(path)
     import torch
@@ -274,14 +284,15 @@ def trace_config_from_hf(hf_cfg: dict, **overrides) -> TraceConfig:
         score_vocab_size=hf_cfg.get("score_vocab_size", 13),
         attn_qkv_bias="qwen2" in hf_cfg.get("model_type", ""),
     )
-    return TraceConfig(
+    kwargs = dict(
         decoder=dec,
         mm_projector_type=hf_cfg.get("mm_projector_type", "spatial_slot"),
         num_slots=hf_cfg.get("num_slots", 8),
         num_frames=hf_cfg.get("num_frames", 128),
         image_aspect_ratio=hf_cfg.get("image_aspect_ratio", "pad"),
-        **overrides,
     )
+    kwargs.update(overrides)  # explicit overrides win over checkpoint fields
+    return TraceConfig(**kwargs)
 
 
 def convert_trace_checkpoint(
@@ -347,3 +358,91 @@ def _convert_generic_projector(sd: StateDict, config: TraceConfig, *, dtype=jnp.
             })
         return {"layers": layers}
     raise NotImplementedError(f"projector conversion for {t} not implemented")
+
+
+# ---------------------------------------------------------------------------
+# Stage-0 assembly: base LLM + base CLIP + fresh multimodal modules
+# ---------------------------------------------------------------------------
+
+def load_mm_projector(path: str, config: TraceConfig, *, dtype=jnp.bfloat16) -> dict:
+    """Standalone mm_projector.bin / dir -> connector params (reference
+    builder.py:48-62 load_mm_projector).  Keys may or may not carry the
+    'model.mm_projector.' prefix depending on how the stage-1 run saved."""
+    sd = load_checkpoint_tensors(path)
+    if not any(k.startswith("model.mm_projector.") for k in sd):
+        sd = {f"model.mm_projector.{k}": v for k, v in sd.items()}
+    if config.mm_projector_type == "spatial_slot":
+        return convert_spatial_slot(sd, dtype=dtype)
+    return _convert_generic_projector(sd, config, dtype=dtype)
+
+
+def build_from_base_models(
+    llm_path: str,
+    vision_path: str,
+    *,
+    mm_projector_path: str | None = None,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+    **config_overrides,
+) -> tuple:
+    """Assemble a fresh TRACE model for stage-1 pretraining: base HF LLM
+    decoder + base CLIP tower + newly initialized connector, time/score/sync
+    towers and auxiliary heads (reference trace_arch.py:60-186
+    initialize_vision/time/score_modules + trace_mistral.py:85-96).
+
+    Returns (params, TraceConfig).  Pass mm_projector_path to resume from a
+    stage-1 projector (the reference's --pretrain_mm_mlp_adapter flow).
+    """
+    import jax
+
+    from trace_tpu.model import connector as connector_lib
+    from trace_tpu.model.towers import init_tower_params
+
+    hf_cfg = read_hf_config(llm_path)
+    config = trace_config_from_hf(hf_cfg, dtype=dtype, **config_overrides)
+
+    sd = load_checkpoint_tensors(llm_path)
+    decoder = convert_mistral_decoder(sd, config.decoder, dtype=dtype)
+
+    # fresh auxiliary heads: the converter zero-fills missing heads, but a
+    # trainable stage-0 wants the reference's fresh-linear behavior
+    key = jax.random.PRNGKey(seed)
+    kh, kc, kt = jax.random.split(key, 3)
+    D = config.decoder.hidden_size
+    for name, width, k in (
+        ("sync_head", 1, 0),
+        ("time_head", config.decoder.time_vocab_size, 1),
+        ("score_head", config.decoder.score_vocab_size, 2),
+    ):
+        if float(jnp.abs(decoder[name]).max()) == 0.0:
+            decoder[name] = (
+                jax.random.normal(jax.random.fold_in(kh, k), (D, width)) * 0.02
+            ).astype(dtype)
+
+    vision_sd = load_checkpoint_tensors(vision_path)
+    vision = convert_clip_vision(
+        vision_sd, config.vision, prefix="vision_model.", dtype=dtype
+    )
+
+    if mm_projector_path is not None:
+        connector = load_mm_projector(mm_projector_path, config, dtype=dtype)
+    else:
+        init_conn, _ = connector_lib.build_connector(config.mm_projector_type)
+        if config.mm_projector_type in ("spatial_slot", "slot"):
+            connector = init_conn(
+                kc, config.vision.hidden_size, config.decoder.hidden_size,
+                num_slots=config.num_slots, dtype=dtype,
+            )
+        else:
+            connector = init_conn(
+                kc, config.vision.hidden_size, config.decoder.hidden_size,
+                dtype=dtype,
+            )
+
+    params = {
+        "decoder": decoder,
+        "vision": vision,
+        "connector": connector,
+        "towers": init_tower_params(kt, D, dtype=dtype),
+    }
+    return params, config

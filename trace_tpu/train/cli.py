@@ -24,6 +24,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--stage", choices=["pretrain", "sft", "lora"], required=True)
     ap.add_argument("--data-path", required=True, help="annotation JSON")
     ap.add_argument("--data-folder", default="")
+    ap.add_argument("--base-llm", default=None,
+                    help="base HF LLM dir for stage-0 assembly (fresh "
+                         "multimodal modules; reference --model_name_or_path)")
+    ap.add_argument("--pretrain-mm-adapter", default=None,
+                    help="stage-1 mm_projector.bin to resume the connector "
+                         "from (reference --pretrain_mm_mlp_adapter)")
     ap.add_argument("--init-checkpoint", default=None,
                     help="HF checkpoint dir to start from (trace-init / trace)")
     ap.add_argument("--vision-path", default=None)
@@ -64,6 +70,19 @@ def main(argv=None):
             args.init_checkpoint, vision_path=args.vision_path
         )
         tokenizer = load_hf_tokenizer(args.init_checkpoint)
+    elif args.base_llm:
+        # stage-0: base LLM + base CLIP + fresh multimodal modules
+        # (reference trace_arch.py:60-186 initialize_*_modules)
+        from trace_tpu.checkpoint.convert import build_from_base_models
+        from trace_tpu.tokenizers.text import load_hf_tokenizer
+
+        if not args.vision_path:
+            ap.error("--base-llm requires --vision-path (CLIP dir)")
+        params, config = build_from_base_models(
+            args.base_llm, args.vision_path,
+            mm_projector_path=args.pretrain_mm_adapter, seed=args.seed,
+        )
+        tokenizer = load_hf_tokenizer(args.base_llm)
     else:
         from trace_tpu.tokenizers.text import ByteTokenizer
 
