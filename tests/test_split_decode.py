@@ -95,3 +95,22 @@ def test_split_int8_cache():
         prefix_len=P, max_new_tokens=new, rng=jax.random.PRNGKey(0),
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("pb", [1, 2, 3])
+def test_fused_subbatch_prefill_matches(pb):
+    """generate_jit(prefill_batch=...) — in-program sub-batched prefill."""
+    params, emb, prefix, mask, B, P, new = _setup(jax.random.PRNGKey(3))
+    S = P + new
+    heads = jnp.ones((B,), jnp.int32)
+    want, want_n = generate_jit(
+        params, CFG, prefix, mask, emb, heads,
+        max_new_tokens=new, cache_len=S, rng=jax.random.PRNGKey(0),
+    )
+    got, got_n = generate_jit(
+        params, CFG, prefix, mask, emb, heads,
+        max_new_tokens=new, cache_len=S, rng=jax.random.PRNGKey(0),
+        prefill_batch=pb,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))

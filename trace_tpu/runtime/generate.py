@@ -160,6 +160,7 @@ def _time_constraint_update(
         "eos_id",
         "use_flash",
         "constrain_time",
+        "prefill_batch",
     ),
 )
 def generate_jit(
@@ -178,16 +179,51 @@ def generate_jit(
     constrain_time: bool = False,
     frame_time_ids: Optional[jax.Array] = None,  # [B, T, 6] local ids
     rng: Optional[jax.Array] = None,
+    prefill_batch: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Prefill + FSM decode, fully compiled. Returns (tokens, num_generated)."""
+    """Prefill + FSM decode, fully compiled. Returns (tokens, num_generated).
+
+    prefill_batch < B runs the prefill in sub-batches INSIDE this one
+    program: the unrolled sub-prefills write their stripes into the
+    decode-batch cache (a program-internal temp, so no donated-input copy
+    and XLA reuses one sub-cache buffer across iterations). Prefill's
+    B*P*D activation working set is what caps the monolithic batch on a
+    full chip; the decode loop's ~B*D is not.
+    """
     B, P, D = prefix_embeds.shape
     assert cache_len >= P + max_new_tokens, "cache too small"
     c = config
 
-    cache, cache_mask, last_hidden, next_pos = _prefill(
-        params, c, prefix_embeds, prefix_mask,
-        cache_len=cache_len, use_flash=use_flash,
-    )
+    if prefill_batch is None or prefill_batch >= B:
+        cache, cache_mask, last_hidden, next_pos = _prefill(
+            params, c, prefix_embeds, prefix_mask,
+            cache_len=cache_len, use_flash=use_flash,
+        )
+    else:
+        pb = prefill_batch
+        cache = init_kv_cache(c, B, cache_len, dtype=prefix_embeds.dtype)
+        cms, lhs, nps = [], [], []
+        for r in range(0, B, pb):
+            sub_cache, cm, lh, npos = _prefill(
+                params, c,
+                prefix_embeds[r : r + pb], prefix_mask[r : r + pb],
+                cache_len=cache_len, use_flash=use_flash,
+            )
+            cache = jax.tree.map(
+                lambda big, small: jax.lax.dynamic_update_slice(
+                    big, small.astype(big.dtype),
+                    (jnp.int32(0), jnp.int32(r))
+                    + (jnp.int32(0),) * (big.ndim - 2),
+                ),
+                cache, sub_cache,
+            )
+            cms.append(cm)
+            lhs.append(lh)
+            nps.append(npos)
+        cache_mask = jnp.concatenate(cms)
+        last_hidden = jnp.concatenate(lhs)
+        next_pos = jnp.concatenate(nps)
+
     return _decode_from_state(
         params, c, cache, cache_mask, last_hidden, next_pos,
         combined_embed, initial_head,
@@ -399,11 +435,14 @@ def generate(
     use_flash: Optional[bool] = None,
     constrain_time: bool = False,
     frame_time_ids: Optional[jax.Array] = None,
+    prefill_batch: Optional[int] = None,
 ) -> GenerateOutput:
     """Host-side wrapper: left-pad/bucket the prefix, invoke the jitted loop.
 
     ``initial_head`` defaults to 1 (time head) matching the production prompt
     that ends with ``<sync>`` (scripts/inference/inference.py:45,54).
+    ``prefill_batch`` sub-batches the prefill inside the compiled program
+    (see generate_jit).
     """
     B, P, D = prefix_embeds.shape
     bucket = max(pad_to_multiple, ((P + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple)
@@ -423,7 +462,7 @@ def generate(
         max_new_tokens=max_new_tokens, cache_len=cache_len,
         temperature=temperature, eos_id=eos_id, use_flash=use_flash,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
-        rng=jax.random.PRNGKey(seed),
+        rng=jax.random.PRNGKey(seed), prefill_batch=prefill_batch,
     )
     return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))
 

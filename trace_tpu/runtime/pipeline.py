@@ -510,18 +510,11 @@ class TracePipeline:
                 temperature=temperature, eos_id=self.tokenizer.eos_token_id,
                 seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
             )
-            if prefill_batch is not None and prefill_batch < B:
-                out = gen.generate_split(
-                    self._decoder_params, self.config.decoder,
-                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
-                    prefill_batch=prefill_batch, **gen_kwargs,
-                )
-            else:
-                out = gen.generate(
-                    self._decoder_params, self.config.decoder,
-                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
-                    **gen_kwargs,
-                )
+            out = gen.generate(
+                self._decoder_params, self.config.decoder,
+                jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                prefill_batch=prefill_batch, **gen_kwargs,
+            )
             for b in range(B):
                 ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
                 results.append(decode_event_stream(
