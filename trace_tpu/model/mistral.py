@@ -17,7 +17,6 @@ From-scratch TPU-first re-design of the reference's HF-Mistral backbone
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional, Tuple
 

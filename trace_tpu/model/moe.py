@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from trace_tpu.model.config import DecoderConfig
-from trace_tpu.model.mistral import rms_norm
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,6 @@ treat `--quant int8` as the high-throughput serving mode pending that check.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
