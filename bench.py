@@ -20,6 +20,7 @@ a 125-TFLOP V100: ~0.33 videos/s.  vs_baseline = value / 0.33.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -207,6 +208,23 @@ def main():
                 flush=True,
             )
             if not retry:
+                # a RESOURCE_EXHAUSTED poisons this process's allocator
+                # (later, smaller programs keep failing) — fall back in a
+                # FRESH process so the smaller batch gets a clean chip.
+                # Recursion is bounded by the halving (16 -> 8 -> ... -> 1).
+                if B > 1:
+                    import subprocess
+
+                    argv = [sys.executable, os.path.abspath(__file__)]
+                    it = iter(sys.argv[1:])
+                    for a in it:
+                        if a == "--batch":
+                            next(it, None)
+                            continue
+                        argv.append(a)
+                    argv += ["--batch", str(B // 2)]
+                    print(f"re-exec fresh process at batch {B // 2}", flush=True)
+                    raise SystemExit(subprocess.run(argv).returncode)
                 B = B // 2
     if B < 1:
         raise RuntimeError("no decode batch size fits")
