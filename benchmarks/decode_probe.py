@@ -25,7 +25,6 @@ from trace_tpu.runtime.generate import build_combined_embedding, generate_jit
 
 
 def main():
-    import dataclasses
     import os
 
     batches = [int(a) for a in sys.argv[1:]] or [1, 8, 16]
