@@ -357,7 +357,14 @@ class TracePipeline:
             int(t) for t in out.tokens[0]
             if 0 <= int(t) < cfg.decoder.vocab_size
         ]
-        return self.tokenizer.decode(text_ids, skip_special_tokens=True).strip()
+        text = self.tokenizer.decode(text_ids, skip_special_tokens=True).strip()
+        # keyword stop (reference KeywordsStoppingCriteria, mm_utils.py:
+        # 567-600): templates whose separator is not the eos token (vicuna
+        # v1 '###', qwen '<|im_end|>') end the turn at the stop string
+        stop = conv.get_template(template).stop_str
+        if stop and stop != getattr(self.tokenizer, "eos_token", None):
+            text = text.split(stop)[0].strip()
+        return text
 
     # ------------------------------------------------------------------
     # Two-phase corpus inference
