@@ -88,3 +88,64 @@ class TestEvalDriver:
         assert len(scores) == 5
         # both events land in clip max(0, int(t/2)-1): t=4 -> 1, t=5.9 -> 1
         assert scores[1] == 4.0
+
+
+class TestCorpusSkipPaths:
+    def test_probe_media(self, tmp_path):
+        from trace_tpu.video.io import probe_media
+
+        ok = tmp_path / "v.npy"
+        np.save(ok, _frames(0, 4))
+        probe_media(str(ok))  # no raise
+
+        with pytest.raises(Exception):
+            probe_media(str(tmp_path / "missing.mp4"))
+
+        bad = tmp_path / "corrupt.mp4"
+        bad.write_bytes(b"not a video at all")
+        with pytest.raises(Exception):
+            probe_media(str(bad))
+
+        empty_dir = tmp_path / "frames"
+        empty_dir.mkdir()
+        with pytest.raises(Exception):
+            probe_media(str(empty_dir))
+
+    def test_corpus_skips_failures_one_decode_pass(self, pipe, tmp_path, monkeypatch):
+        """Header-bad files are pre-filtered; stream-bad files are recorded
+        and dropped; good files decode exactly once."""
+        from trace_tpu.eval.evaluate import run_vtg_eval
+        import trace_tpu.video.io as vio
+
+        T = pipe.config.num_frames
+        video_dir = tmp_path / "videos"
+        video_dir.mkdir()
+        np.save(video_dir / "good.npy", _frames(0, 8))
+        (video_dir / "header_bad.mp4").write_bytes(b"junk")
+        np.save(video_dir / "stream_bad.npy", _frames(1, 8))
+
+        anno = [
+            {"image_id": "good.npy", "caption": "q", "id": 0, "timestamp": [0, 1]},
+            {"image_id": "header_bad.mp4", "caption": "q", "id": 1, "timestamp": [0, 1]},
+            {"image_id": "stream_bad.npy", "caption": "q", "id": 2, "timestamp": [0, 1]},
+        ]
+
+        decode_calls = {}
+        real_load = vio.load_video_frames
+
+        def counting_load(path, num_frames, *a, **k):
+            decode_calls[path] = decode_calls.get(path, 0) + 1
+            if "stream_bad" in path:
+                raise IOError("simulated mid-stream corruption")
+            return real_load(path, num_frames, *a, **k)
+
+        monkeypatch.setattr(vio, "load_video_frames", counting_load)
+
+        results = run_vtg_eval(
+            pipe, "tvg", anno, str(video_dir),
+            num_frames=T, batch_size=2, max_new_tokens=8, progress=False,
+        )
+        assert [r["id"] for r in results] == [0]
+        good_path = str(video_dir / "good.npy")
+        assert decode_calls.get(good_path, 0) == 1  # exactly one decode pass
+        assert not any("header_bad" in p for p in decode_calls)

@@ -71,18 +71,30 @@ def run_vtg_eval(
     t0 = time.time()
 
     if corpus_mode:
-        # pre-filter undecodable videos (the corpus loader has no skip path)
+        # pre-filter unopenable media by container HEADER only — decoding a
+        # frame here would be a second full demux pass over the corpus
+        from trace_tpu.video.io import probe_media
+
         goods = []
         for it in items:
             try:
-                load_video_frames(it["path"], 1)
+                probe_media(it["path"])
                 goods.append(it)
             except Exception as e:
                 print(f"skipping {it['path']}: {e}")
 
+        # mid-decode failures (header fine, stream corrupt) substitute black
+        # frames so the batch shape holds; their results are dropped after
+        decode_failed: dict[int, str] = {}
+
         def load_item(i):
             it = goods[i]
-            frames, ts = load_video_frames(it["path"], num_frames)
+            try:
+                frames, ts = load_video_frames(it["path"], num_frames)
+            except Exception as e:
+                decode_failed[i] = str(e)
+                frames = np.zeros((num_frames, 64, 64, 3), np.uint8)
+                ts = [[0.0]] * num_frames
             return frames, ts, it["q"]
 
         preds = pipeline.infer_events_corpus(
@@ -90,15 +102,18 @@ def run_vtg_eval(
             encode_batch=min(2, batch_size), decode_batch=batch_size,
             max_new_tokens=max_new_tokens, constrain_time=constrain_time,
         )
-        for it, p in zip(goods, preds):
+        for i, (it, p) in enumerate(zip(goods, preds)):
+            if i in decode_failed:
+                print(f"skipping {it['path']}: {decode_failed[i]}")
+                continue
             results.append({
                 "video": it["video"], "id": it["id"],
                 "timestamps": p.timestamps, "scores": p.scores,
                 "captions": p.captions,
             })
         if progress:
-            rate = len(goods) / max(time.time() - t0, 1e-9)
-            print(f"[{task}] {len(goods)} videos ({rate:.2f} vid/s)")
+            rate = len(results) / max(time.time() - t0, 1e-9)
+            print(f"[{task}] {len(results)} videos ({rate:.2f} vid/s)")
         return results
 
     for start in range(0, len(items), batch_size):

@@ -209,8 +209,18 @@ class MeteorFallback:
 
 
 def make_meteor():
-    """Prefer the jar; degrade to the labeled approximation."""
+    """Prefer the jar; degrade to the labeled approximation (loudly)."""
+    import sys
+
     try:
         return Meteor()
     except MeteorUnavailable:
+        print(
+            "WARNING: meteor-1.5.jar not available (set METEOR_JAR + a JRE) — "
+            "using the unigram-F approximation. METEOR and SODA_c values in "
+            "this run are NOT comparable to published numbers "
+            "(outputs carry meteor_is_approximate=True).",
+            file=sys.stderr,
+            flush=True,
+        )
         return MeteorFallback()

@@ -73,6 +73,34 @@ def probe(path: str) -> Tuple[int, float]:
     return _probe_cv2(path)
 
 
+def probe_media(path: str) -> None:
+    """Cheap openability check: container header only, NO frame decode.
+
+    Raises on missing / unreadable media. Used by eval drivers to pre-filter
+    corpora without a second full decode pass (the reference's eval loop
+    decodes each video exactly once; a probe keeps that property)."""
+    if os.path.isdir(path):
+        if not any(
+            f.lower().endswith((".jpg", ".jpeg", ".png")) for f in os.listdir(path)
+        ):
+            raise IOError(f"no frame images in directory: {path}")
+        return
+    if not os.path.exists(path):
+        raise IOError(f"no such file: {path}")
+    if path.endswith(".npy") or path.lower().endswith(
+        (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+    ):
+        return  # existence is enough; decode failures surface in the loader
+    if path.endswith(".gif"):
+        import imageio
+
+        imageio.get_reader(path).close()
+        return
+    count, _fps = _probe_cv2(path)
+    if count <= 0:
+        raise IOError(f"no frames reported by container: {path}")
+
+
 def read_frames_at(path: str, indices: np.ndarray, use_native: bool = True) -> Frames:
     """Random-access decode of specific frame indices (native fast path,
     OpenCV fallback)."""
