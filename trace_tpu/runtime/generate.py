@@ -180,6 +180,7 @@ def generate_jit(
     frame_time_ids: Optional[jax.Array] = None,  # [B, T, 6] local ids
     rng: Optional[jax.Array] = None,
     prefill_batch: Optional[int] = None,
+    stop_ids: Optional[jax.Array] = None,  # [N, K] int32, -1 left-padded
 ) -> Tuple[jax.Array, jax.Array]:
     """Prefill + FSM decode, fully compiled. Returns (tokens, num_generated).
 
@@ -230,7 +231,7 @@ def generate_jit(
         prefix_len=P, max_new_tokens=max_new_tokens, temperature=temperature,
         eos_id=eos_id, constrain_time=constrain_time,
         frame_time_ids=frame_time_ids, rng=rng,
-        embed_dtype=prefix_embeds.dtype,
+        embed_dtype=prefix_embeds.dtype, stop_ids=stop_ids,
     )
 
 
@@ -261,11 +262,31 @@ def _decode_from_state(
     combined_embed, initial_head, *,
     prefix_len, max_new_tokens, temperature, eos_id,
     constrain_time, frame_time_ids, rng, embed_dtype,
+    stop_ids=None,
 ):
-    """FSM decode loop from a prefilled cache (the serving decode phase)."""
+    """FSM decode loop from a prefilled cache (the serving decode phase).
+
+    ``stop_ids`` ([N, K] int32, -1-padded on the LEFT) compiles keyword
+    stopping INTO the loop: a rolling buffer of the last K emitted ids is
+    compared against each stop sequence every step, so templates whose
+    separator is not EOS (vicuna '###', qwen '<|im_end|>') stop decoding at
+    the keyword instead of burning steps to max_new_tokens (reference
+    KeywordsStoppingCriteria, mm_utils.py:567-600, ran post-hoc on host).
+    The matched ids are still emitted; the host-side text trim stays as the
+    backstop for tokenizer-dependent stop-string splits.
+    """
     B = last_hidden.shape[0]
     P = prefix_len
     mask_table = head_mask_table(c)
+
+    def stop_hit(recent):
+        if stop_ids is None:
+            return jnp.zeros((B,), bool)
+        pad = stop_ids < 0  # [N, K]
+        return jnp.any(
+            jnp.all(pad[None] | (recent[:, None, :] == stop_ids[None]), axis=-1),
+            axis=1,
+        )
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -297,12 +318,17 @@ def _decode_from_state(
     rng, k0 = jax.random.split(rng)
     logits0 = compute_logits(params, last_hidden)
     tok0 = pick_token(logits0, initial_head, k0, alive0, vpos0).astype(jnp.int32)
-    done0 = tok0 == eos_id
+    K = 0 if stop_ids is None else stop_ids.shape[1]
+    recent0 = (
+        jnp.full((B, max(K, 1)), -2, jnp.int32)
+        .at[:, -1].set(tok0)
+    )
+    done0 = (tok0 == eos_id) | stop_hit(recent0)
     head0 = swap_heads(c, initial_head, tok0)
     alive0, vpos0 = update_constraint(tok0, alive0, vpos0)
 
     tokens = jnp.full((B, max_new_tokens), PAD_OUTPUT_ID, jnp.int32)
-    tokens = tokens.at[:, 0].set(jnp.where(done0, eos_id, tok0))
+    tokens = tokens.at[:, 0].set(jnp.where(tok0 == eos_id, eos_id, tok0))
 
     state = dict(
         step=jnp.int32(1),
@@ -315,6 +341,7 @@ def _decode_from_state(
         next_pos=next_pos,
         alive=alive0,
         vpos=vpos0,
+        recent=recent0,
         rng=rng,
     )
 
@@ -338,8 +365,11 @@ def _decode_from_state(
         logits = compute_logits(params, hidden[:, -1, :])
         tok = pick_token(logits, s["head"], key, s["alive"], s["vpos"]).astype(jnp.int32)
 
-        newly_done = tok == eos_id
-        emitted = jnp.where(s["done"], PAD_OUTPUT_ID, jnp.where(newly_done, eos_id, tok))
+        recent = jnp.concatenate([s["recent"][:, 1:], tok[:, None]], axis=1)
+        newly_done = (tok == eos_id) | stop_hit(recent)
+        emitted = jnp.where(
+            s["done"], PAD_OUTPUT_ID, jnp.where(tok == eos_id, eos_id, tok)
+        )
         tokens = s["tokens"].at[:, step].set(emitted)
         done = s["done"] | newly_done
         head = jnp.where(s["done"], s["head"], swap_heads(c, s["head"], tok))
@@ -356,6 +386,7 @@ def _decode_from_state(
             next_pos=s["next_pos"],
             alive=alive,
             vpos=vpos,
+            recent=recent,
             rng=rng,
         )
 
@@ -389,6 +420,7 @@ def decode_jit(
     constrain_time: bool = False,
     frame_time_ids: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
+    stop_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Decode phase as its own executable (serving-style prefill/decode
     split).  Lets prefill run at a smaller batch than decode: prefill's
@@ -404,7 +436,7 @@ def decode_jit(
         prefix_len=prefix_len, max_new_tokens=max_new_tokens,
         temperature=temperature, eos_id=eos_id,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
-        rng=rng, embed_dtype=embed_dtype,
+        rng=rng, embed_dtype=embed_dtype, stop_ids=stop_ids,
     )
 
 
@@ -417,6 +449,20 @@ def merge_cache_rows(big, small, row: jax.Array):
         return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), idx)
 
     return jax.tree.map(put, big, small)
+
+
+def pack_stop_sequences(stop_sequences) -> Optional[jax.Array]:
+    """[[ids...], ...] -> [N, K] int32, -1 LEFT-padded (or None if empty)."""
+    if not stop_sequences:
+        return None
+    seqs = [list(map(int, s)) for s in stop_sequences if len(s) > 0]
+    if not seqs:
+        return None
+    K = max(len(s) for s in seqs)
+    arr = np.full((len(seqs), K), -1, np.int32)
+    for i, s in enumerate(seqs):
+        arr[i, K - len(s):] = s
+    return jnp.asarray(arr)
 
 
 def generate(
@@ -436,6 +482,7 @@ def generate(
     constrain_time: bool = False,
     frame_time_ids: Optional[jax.Array] = None,
     prefill_batch: Optional[int] = None,
+    stop_sequences=None,
 ) -> GenerateOutput:
     """Host-side wrapper: left-pad/bucket the prefix, invoke the jitted loop.
 
@@ -463,6 +510,7 @@ def generate(
         temperature=temperature, eos_id=eos_id, use_flash=use_flash,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
         rng=jax.random.PRNGKey(seed), prefill_batch=prefill_batch,
+        stop_ids=pack_stop_sequences(stop_sequences),
     )
     return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))
 
@@ -484,6 +532,7 @@ def generate_split(
     use_flash: Optional[bool] = None,
     constrain_time: bool = False,
     frame_time_ids: Optional[jax.Array] = None,
+    stop_sequences=None,
 ) -> GenerateOutput:
     """generate() with the serving-style prefill/decode split: prefill runs
     in `prefill_batch` sub-batches that fill one decode-batch cache in place
@@ -532,5 +581,6 @@ def generate_split(
         temperature=temperature, eos_id=eos_id,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
         rng=jax.random.PRNGKey(seed),
+        stop_ids=pack_stop_sequences(stop_sequences),
     )
     return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))

@@ -346,25 +346,38 @@ class TracePipeline:
             frames[None], jnp.asarray(time_ids)[None],
             self._combined, gen.default_use_flash(),
         )
+        # keyword stop (reference KeywordsStoppingCriteria, mm_utils.py:
+        # 567-600): templates whose separator is not the eos token (vicuna
+        # v1 '###', qwen '<|im_end|>') end the turn at the stop string.
+        # The token-id form compiles INTO the decode loop (no wasted steps);
+        # the text split below stays as the backstop for stop strings whose
+        # mid-text tokenization differs from the standalone encoding.
+        stop = conv.get_template(template).stop_str
+        stop_seqs = None
+        if stop and stop != getattr(self.tokenizer, "eos_token", None):
+            stop_seqs = [self._stop_token_ids(stop)]
         out = gen.generate(
             self._decoder_params, cfg.decoder,
             prefix, jnp.ones((1, prefix.shape[1]), bool), self._combined,
             max_new_tokens=max_new_tokens, initial_head=0,
             temperature=temperature, eos_id=self.tokenizer.eos_token_id,
-            seed=seed,
+            seed=seed, stop_sequences=stop_seqs,
         )
         text_ids = [
             int(t) for t in out.tokens[0]
             if 0 <= int(t) < cfg.decoder.vocab_size
         ]
         text = self.tokenizer.decode(text_ids, skip_special_tokens=True).strip()
-        # keyword stop (reference KeywordsStoppingCriteria, mm_utils.py:
-        # 567-600): templates whose separator is not the eos token (vicuna
-        # v1 '###', qwen '<|im_end|>') end the turn at the stop string
-        stop = conv.get_template(template).stop_str
         if stop and stop != getattr(self.tokenizer, "eos_token", None):
             text = text.split(stop)[0].strip()
         return text
+
+    def _stop_token_ids(self, stop: str) -> list[int]:
+        """Stop string -> token ids, BOS stripped (mm_utils.py:571-577)."""
+        ids = list(self.tokenizer.encode(stop))
+        if ids and ids[0] == getattr(self.tokenizer, "bos_token_id", None):
+            ids = ids[1:]
+        return ids
 
     # ------------------------------------------------------------------
     # Two-phase corpus inference
