@@ -108,6 +108,92 @@ class Template:
 
         raise ValueError(f"Invalid separator style: {self.sep_style}")
 
+    def prompt_chunks(
+        self, messages: Sequence[Tuple[str, Optional[str]]]
+    ) -> list[Tuple[str, bool]]:
+        """Render to (text, supervised) chunks; ``"".join(texts) == prompt()``.
+
+        Supervision follows the reference's per-template label masking
+        (train_mt.py:470-723 preprocess_llama_2/v1/plain/qwen): assistant
+        message text PLUS its trailing separator is supervised; system
+        prompt, role markers, and user turns are not.  Because each chunk
+        tokenizes independently, the offset-arithmetic "tokenization
+        mismatch" failure mode (train_mt.py:542-548) cannot occur.
+        """
+        chunks: list[Tuple[str, bool]] = []
+
+        if self.sep_style == SeparatorStyle.SINGLE:
+            chunks.append((self.system + self.sep, False))
+            for role, message in messages:
+                if message:
+                    sup = role == self.roles[1]
+                    chunks.append((role + ": ", False))
+                    chunks.append((message + self.sep, sup))
+                else:
+                    chunks.append((role + ":", False))
+            return chunks
+
+        if self.sep_style == SeparatorStyle.TWO:
+            seps = [self.sep, self.sep2]
+            chunks.append((self.system + seps[0], False))
+            for i, (role, message) in enumerate(messages):
+                if message:
+                    sup = i % 2 == 1
+                    chunks.append((role + ": ", False))
+                    chunks.append((message + seps[i % 2], sup))
+                else:
+                    chunks.append((role + ":", False))
+            return chunks
+
+        if self.sep_style == SeparatorStyle.MPT:
+            chunks.append((self.system + self.sep, False))
+            for role, message in messages:
+                if message:
+                    chunks.append((role, False))
+                    chunks.append((message + self.sep, role == self.roles[1]))
+                else:
+                    chunks.append((role, False))
+            return chunks
+
+        if self.sep_style == SeparatorStyle.LLAMA_2:
+            def wrap_sys(msg: str) -> str:
+                return f"<<SYS>>\n{msg}\n<</SYS>>\n\n"
+
+            for i, (role, message) in enumerate(messages):
+                if i == 0:
+                    assert message, "first message must be non-empty"
+                    assert role == self.roles[0], "first message must be from user"
+                if message:
+                    if i % 2 == 0:
+                        body = (wrap_sys(self.system) if i == 0 else "") + message
+                        lead = self.sep if i > 0 else ""
+                        chunks.append((f"{lead}[INST] {body} [/INST]", False))
+                    else:
+                        chunks.append((" " + message + " " + self.sep2, True))
+            return chunks
+
+        if self.sep_style == SeparatorStyle.QWEN:
+            chunks.append((self.system + self.sep + "\n", False))
+            for role, message in messages:
+                if message:
+                    chunks.append((role, False))
+                    chunks.append(
+                        (message + self.sep + "\n", role == self.roles[1])
+                    )
+                else:
+                    chunks.append((role, False))
+            return chunks
+
+        if self.sep_style == SeparatorStyle.PLAIN:
+            seps = [self.sep, self.sep2]
+            chunks.append((self.system, False))
+            for i, (role, message) in enumerate(messages):
+                if message:
+                    chunks.append((message + seps[i % 2], i % 2 == 1))
+            return chunks
+
+        raise ValueError(f"Invalid separator style: {self.sep_style}")
+
     def user_turn(self, text: str) -> Tuple[str, str]:
         return (self.roles[0], text)
 

@@ -121,6 +121,133 @@ def build_prompt_segments(
     return segs, video_pos
 
 
+def _strip_bos(ids: list[int], tokenizer: TextTokenizer) -> list[int]:
+    if ids and ids[0] == getattr(tokenizer, "bos_token_id", None):
+        return ids[1:]
+    return ids
+
+
+_EVENT_TAGS = ("<time>", "<score>", "<sync>")
+
+
+def _turn_captions(value: str) -> list[str]:
+    """gpt-turn text -> caption lines (event sentinel tags stripped)."""
+    for tag in _EVENT_TAGS:
+        value = value.replace(tag, "")
+    return [c.strip() for c in value.split("\n") if c.strip()]
+
+
+def build_conversation_segments(
+    conversations: Sequence[dict],
+    tokenizer: TextTokenizer,
+    num_video_tokens: int,
+    *,
+    template: str = "llama_2",
+    text_vocab_size: int = 32000,
+    events: Optional[Sequence[dict]] = None,
+    modal_tag: Optional[str] = None,
+) -> tuple[list[Segment], Optional[int]]:
+    """Multi-round ``conversations`` -> segments + video span position.
+
+    Covers the reference's full preprocess surface (train_mt.py:470-723
+    label masking over multi-round conversations, preprocess_multimodal
+    tag normalization at :354-376) on the segment architecture:
+
+    * leading non-human turns are dropped (train_mt.py:389-391);
+    * the modal tag (``<video>``/``<image>``) is moved to the start of its
+      turn (preprocess_multimodal) and becomes the video span; at most one
+      across the conversation (trace_arch.py:411); ``None`` video_pos means
+      a text-only record (no span spliced);
+    * assistant turns are supervised, everything else is not;
+    * when ``events`` is given, each gpt turn consumes as many events as it
+      has caption lines and is rebuilt as the serialized event stream
+      (times <sync> scores <sync> caption <sync>) directly in combined-id
+      space — the segment equivalent of the reference's per-token
+      ``<time>``/``<score>`` sentinel splice (trace_arch.py:430-447);
+    * plain gpt turns stay text (the trace-uni event-free QA mix,
+      README.md:59-60).
+
+    Returns (segments, video_pos_or_None).
+    """
+    tpl = conv_lib.get_template(template)
+    turns = list(conversations)
+    if turns and turns[0].get("from") != "human":
+        turns = turns[1:]
+
+    events = list(events or [])
+    ev_cursor = 0
+
+    # one placeholder per event gpt turn; substituted after chunk rendering
+    messages: list[tuple[str, Optional[str]]] = []
+    event_turns: dict[str, list[dict]] = {}
+    for ti, turn in enumerate(turns):
+        value = turn["value"]
+        if turn["from"] == "human":
+            if modal_tag and modal_tag in value:
+                # preprocess_multimodal: tag leads the turn
+                value = (modal_tag + "\n" + value.replace(modal_tag, "").strip()).strip()
+            messages.append(tpl.user_turn(value))
+        else:
+            caps = _turn_captions(value)
+            if events and ev_cursor < len(events) and caps:
+                take = events[ev_cursor : ev_cursor + len(caps)]
+                ev_cursor += len(take)
+                for ev, cap in zip(take, caps):
+                    ev.setdefault("caption", cap)
+                key = f"\x00EV{ti}\x00"
+                event_turns[key] = take
+                messages.append(tpl.assistant_turn(key))
+            else:
+                messages.append(tpl.assistant_turn(value))
+
+    segs: list[Segment] = []
+    video_pos: Optional[int] = None
+    first = True
+
+    def add_text(text: str, supervised: bool):
+        nonlocal first, video_pos
+        if not text and not first:
+            return
+        if modal_tag and modal_tag in text:
+            pre, post = text.split(modal_tag, 1)
+            assert modal_tag not in post, "only have one video inputs!"
+            add_text(pre, supervised)
+            if video_pos is not None:
+                raise ValueError("only have one video inputs!")
+            video_pos = sum(len(s.ids) for s in segs)
+            segs.append(Segment([0] * num_video_tokens, supervised=False, kind="video"))
+            add_text(post, supervised)
+            return
+        ids = list(tokenizer.encode(text)) if (text or first) else []
+        if first:
+            if not ids:
+                ids = [tokenizer.bos_token_id]
+            first = False
+        else:
+            ids = _strip_bos(ids, tokenizer)
+        if ids:
+            segs.append(Segment(ids, supervised=supervised))
+
+    for text, supervised in tpl.prompt_chunks(messages):
+        hit = next((k for k in event_turns if k in text), None)
+        if hit is None:
+            add_text(text, supervised)
+            continue
+        pre, post = text.split(hit, 1)
+        add_text(pre, supervised)
+        # the event stream opens with an unsupervised <sync> (the FSM entry
+        # the inference prompt appends, inference.py:45,54)
+        segs.append(Segment([text_vocab_size], supervised=False))
+        segs.extend(
+            event_response_segments(
+                event_turns[hit], tokenizer, text_vocab_size=text_vocab_size
+            )
+        )
+        add_text(post, supervised)
+
+    return segs, video_pos
+
+
 @dataclasses.dataclass
 class TrainingSequence:
     token_ids: np.ndarray
@@ -211,15 +338,26 @@ def assemble_sequence(
     )
 
 
+class DatasetError(RuntimeError):
+    """Raised when the bounded corrupt-sample fallback is exhausted."""
+
+
 class EventDataset:
     """JSON-annotation dataset producing fixed-shape training samples.
 
     Annotation format (reference dataset JSON, train_mt.py:777-784): each
-    record has ``video`` (or ``image``), ``conversations`` ([{from, value}]),
-    ``times`` ([[s, e], ...]) and ``scores`` ([[x], ...]).
-    Corrupt-media records fall back to a random substitute sample
-    (train_mt.py:793-811).
+    record has ``conversations`` ([{from, value}] multi-round) plus one of
+    ``video`` / ``image`` / nothing (text-only QA), and optionally ``times``
+    ([[s, e], ...]) / ``scores`` ([[x], ...]) event annotations.  This is
+    the full trace-uni training mix (README.md:59-60).
+
+    Failure semantics: ONLY media decode errors fall back to a random
+    substitute sample (like the reference confines it, train_mt.py:793-811),
+    with a bounded retry count and a logged warning per failure; schema or
+    label-construction errors raise immediately.
     """
+
+    MAX_SUBSTITUTE_RETRIES = 10
 
     def __init__(
         self,
@@ -249,6 +387,7 @@ class EventDataset:
         self.template = template
         self.rng = np.random.default_rng(seed)
         self._py_rng = random.Random(seed)
+        self.media_failures = 0  # running counter, surfaced in train logs
 
     def __len__(self):
         return len(self.records)
@@ -263,41 +402,91 @@ class EventDataset:
         return out
 
     def __getitem__(self, i: int) -> dict:
-        rec = self.records[i]
-        try:
-            return self._build(rec)
-        except Exception:
-            backup = self._py_rng.randrange(len(self.records))
-            return self[backup]
+        idx = i
+        for attempt in range(self.MAX_SUBSTITUTE_RETRIES + 1):
+            rec = self.records[idx]
+            try:
+                frames_u8, frame_ts = self._load_media(rec)
+            except Exception as e:
+                self.media_failures += 1
+                import warnings
 
-    def _build(self, rec: dict) -> dict:
-        from trace_tpu.video.io import load_video_frames
-
-        video_path = os.path.join(self.data_folder, rec["video"])
-        frames_u8, frame_ts = load_video_frames(
-            video_path, self.num_frames, self.sample_scheme, rng=self.rng
+                warnings.warn(
+                    f"media decode failed for record {idx} "
+                    f"({rec.get('video') or rec.get('image')}): {e} — "
+                    f"substituting a random sample "
+                    f"(attempt {attempt + 1}/{self.MAX_SUBSTITUTE_RETRIES})"
+                )
+                idx = self._py_rng.randrange(len(self.records))
+                continue
+            return self._build(rec, frames_u8, frame_ts)
+        raise DatasetError(
+            f"{self.MAX_SUBSTITUTE_RETRIES} consecutive media decode failures "
+            f"starting from record {i}; check data_folder={self.data_folder!r}"
         )
 
-        times = snap_times_to_frames(rec.get("times", []), frame_ts)
-        scores = rec.get("scores", [])
-        instruction, caption_turns = self._parse_conversations(rec["conversations"])
-        events = [
-            {"timestamp": t, "score": s, "caption": c}
-            for t, s, c in zip(times, scores, caption_turns)
-        ]
+    def _load_media(self, rec: dict):
+        """Record -> (frames_u8 [T, S, S, 3], frame_timestamps).
+
+        video: decoded + sampled; image: replicated across the frame axis
+        with [[0]] timestamps (train_mt.py:785-805, trace_arch.py:221);
+        text-only: zero frames (the reference substitutes a zero image,
+        train_mt.py:846-849) — flagged has_video=False so the span splice
+        is skipped.  Frames are standardized to image_size on host so
+        mixed-resolution corpora collate into one static batch shape.
+        """
+        from trace_tpu.video.io import load_image_as_video, load_video_frames
+
+        if "video" in rec:
+            path = os.path.join(self.data_folder, rec["video"])
+            frames_u8, frame_ts = load_video_frames(
+                path, self.num_frames, self.sample_scheme, rng=self.rng
+            )
+        elif "image" in rec:
+            path = os.path.join(self.data_folder, rec["image"])
+            frames_u8, frame_ts = load_image_as_video(path, self.num_frames)
+        else:
+            S = self.image_size
+            return (
+                np.zeros((self.num_frames, S, S, 3), np.uint8),
+                [[0.0]] * self.num_frames,
+            )
+
+        S = self.image_size
+        if frames_u8.shape[1] != S or frames_u8.shape[2] != S:
+            from trace_tpu.video.preprocess import host_downscale
+
+            frames_u8 = host_downscale(np.ascontiguousarray(frames_u8), S)
+        return frames_u8, frame_ts
+
+    def _build(self, rec: dict, frames_u8: np.ndarray, frame_ts: list) -> dict:
+        has_video = "video" in rec or "image" in rec
+        modal_tag = None
+        conv_text = " ".join(t.get("value", "") for t in rec["conversations"])
+        if "<video>" in conv_text:
+            modal_tag = "<video>"
+        elif "<image>" in conv_text:
+            modal_tag = "<image>"
+
+        events = None
+        if rec.get("times"):
+            times = snap_times_to_frames(rec["times"], frame_ts)
+            scores = rec.get("scores", [[0.0]] * len(times))
+            events = [{"timestamp": t, "score": s} for t, s in zip(times, scores)]
 
         n_video = self.num_frames * self.tokens_per_frame
-        prompt_segs, video_pos = build_prompt_segments(
-            instruction, self.tokenizer, n_video,
+        segs, video_pos = build_conversation_segments(
+            rec["conversations"], self.tokenizer, n_video,
             template=self.template, text_vocab_size=self.text_vocab_size,
+            events=events, modal_tag=modal_tag,
         )
-        resp_segs = event_response_segments(
-            events, self.tokenizer, text_vocab_size=self.text_vocab_size
-        )
+        # each assistant round already ends with the template terminator
+        # (llama_2 '</s>' == the tokenizer eos), so no extra eos is appended
         seq = assemble_sequence(
-            prompt_segs + resp_segs, self.max_len, video_pos,
+            segs, self.max_len, video_pos if video_pos is not None else 0,
             text_vocab_size=self.text_vocab_size,
             eos_id=self.tokenizer.eos_token_id,
+            supervise_eos=False,
         )
 
         time_ids = np.stack(
@@ -312,29 +501,8 @@ class EventDataset:
             "score_labels": seq.score_labels,
             "attn_mask": seq.attn_mask,
             "video_pos": np.int32(seq.video_pos),
+            "has_video": np.bool_(has_video and video_pos is not None),
         }
-
-    @staticmethod
-    def _parse_conversations(conversations: Sequence[dict]) -> tuple[str, list[str]]:
-        """First human turn = instruction; captions extracted from gpt turns
-        (sentinel tags stripped — we rebuild the event stream from times/
-        scores/captions directly)."""
-        instruction = ""
-        captions: list[str] = []
-        for turn in conversations:
-            if turn["from"] == "human" and not instruction:
-                instruction = (
-                    turn["value"].replace("<video>", "").replace("<image>", "").strip()
-                )
-            elif turn["from"] == "gpt":
-                text = turn["value"]
-                for tag in ("<time>", "<score>", "<sync>"):
-                    text = text.replace(tag, "")
-                for cap in text.split("\n"):
-                    cap = cap.strip()
-                    if cap:
-                        captions.append(cap)
-        return instruction, captions
 
 
 def collate_batch(samples: list[dict], image_size: int = 336) -> dict:
@@ -352,4 +520,7 @@ def collate_batch(samples: list[dict], image_size: int = 336) -> dict:
         "score_labels": np.stack([s["score_labels"] for s in samples]),
         "attn_mask": np.stack([s["attn_mask"] for s in samples]),
         "video_pos": np.asarray([s["video_pos"] for s in samples], np.int32),
+        "has_video": np.asarray(
+            [bool(s.get("has_video", True)) for s in samples], bool
+        ),
     }

@@ -146,8 +146,15 @@ def build_input_embeds(
     video_features: jax.Array,  # [B, Tv, D] from encode_video
     video_pos: jax.Array,       # [B] start index of the video span
     table: Optional[jax.Array] = None,  # precomputed combined embedding
+    has_video: Optional[jax.Array] = None,  # [B] bool; False = no span splice
 ) -> jax.Array:
-    """Gather token embeddings and scatter the video span. [B, L, D]."""
+    """Gather token embeddings and scatter the video span. [B, L, D].
+
+    ``has_video=False`` rows (text-only QA records in the trace-uni mix)
+    keep their token embeddings untouched — the zero-frame features are
+    computed (uniform batch compute, like the reference's zero-image
+    substitute at train_mt.py:846-849) but never spliced.
+    """
     if table is None:
         table = combined_embedding(params)
     embeds = table[jnp.clip(token_ids, 0, table.shape[0] - 1)]
@@ -157,7 +164,10 @@ def build_input_embeds(
             row_embeds, row_feats.astype(row_embeds.dtype), (pos, jnp.int32(0))
         )
 
-    return jax.vmap(put)(embeds, video_features, video_pos)
+    spliced = jax.vmap(put)(embeds, video_features, video_pos)
+    if has_video is None:
+        return spliced
+    return jnp.where(has_video[:, None, None], spliced, embeds)
 
 
 def forward_train(
@@ -183,7 +193,8 @@ def forward_train(
         use_flash=use_flash,
     )
     embeds = build_input_embeds(
-        params, config, batch["token_ids"], video_feats, batch["video_pos"]
+        params, config, batch["token_ids"], video_feats, batch["video_pos"],
+        has_video=batch.get("has_video"),
     )
 
     B, L, D = embeds.shape
