@@ -46,6 +46,16 @@ class DecoderConfig:
     # KV cache storage: 'bf16' (exact) or 'int8' (per-slot-per-head scales;
     # halves cache HBM — relevant for batch>=16 decoding)
     kv_cache_dtype: str = "bf16"
+    # W8A8: dynamic per-token int8 activation quantization for multi-token
+    # (prefill) forwards when weights are int8 — true s8 x s8 MXU dots
+    # (~2x bf16 peak on v5e) instead of convert(int8)->bf16 dequant dots.
+    # Decode (T=1, weight-bandwidth-bound) always stays weight-only.
+    act_quant: bool = False
+    # Route single-token cache attention through the Pallas decode kernel.
+    # GSPMD-sharded (multi-chip) generation disables it: XLA cannot
+    # partition the custom call, while its own attention partitions over
+    # the sharded head axis naturally.
+    use_decode_kernel: bool = True
 
     @property
     def combined_vocab_size(self) -> int:
@@ -103,6 +113,8 @@ class VisionConfig:
     # CLS dropped (reference: clip_encoder.py:31-39, mm_vision_select_layer=-2)
     select_layer: int = -2
     select_feature: str = "patch"
+    # W8A8 activation quantization for int8 ViT weights (see DecoderConfig)
+    act_quant: bool = False
 
     @property
     def num_patches_per_side(self) -> int:

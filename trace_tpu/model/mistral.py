@@ -141,7 +141,7 @@ def _attention(q, k, v, bias):
     return out.reshape(B, NH, T, HD).astype(q.dtype)
 
 
-def _decode_kernel_ok(q: jax.Array, cache) -> bool:
+def _decode_kernel_ok(q: jax.Array, cache, config: DecoderConfig) -> bool:
     """Route single-token cache attention through the Pallas decode kernel
     on accelerators (tile-legal shapes only); 'force' enables the CPU
     interpreter path for tests."""
@@ -150,6 +150,8 @@ def _decode_kernel_ok(q: jax.Array, cache) -> bool:
         decode_attention_supported,
     )
 
+    if not config.use_decode_kernel:
+        return False
     impl = decode_attention_impl()
     if impl == "xla":
         return False
@@ -189,7 +191,18 @@ def _layer(
 
     h = rms_norm(x, lp["attn_norm"], config.rms_eps)
     NH, NKV, HD = config.num_heads, config.num_kv_heads, config.head_dim
-    if is_quantized(lp["wq"]):
+    # W8A8 fires only for multi-token (prefill/train-style) chunks: decode's
+    # T=1 step is weight-bandwidth-bound, where activation quant only adds
+    # overhead (probe: benchmarks/w8a8_probe.py)
+    w8a8 = config.act_quant and T > 1 and is_quantized(lp["wq"])
+    if w8a8:
+        from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
+
+        hq, hs = quantize_acts(h)  # one rounding pass shared by q/k/v
+        q = quant_apply_w8a8(hq, hs, lp["wq"], (NH, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
+        k = quant_apply_w8a8(hq, hs, lp["wk"], (NKV, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
+        v = quant_apply_w8a8(hq, hs, lp["wv"], (NKV, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
+    elif is_quantized(lp["wq"]):
         # int8 path: tile-local dequant inside the Pallas matmul — XLA must
         # never see convert(int8) feeding a dot, or LICM hoists full bf16
         # weight copies out of the decode loop (measured OOM).
@@ -254,7 +267,7 @@ def _layer(
         from trace_tpu.kernels.flash_attention import flash_attention_trainable
 
         attn = flash_attention_trainable(q, k, v, flash_bias, True)
-    elif full_cache is not None and _decode_kernel_ok(q, new_cache):
+    elif full_cache is not None and _decode_kernel_ok(q, new_cache, config):
         # single-token decode: Pallas kernel reads layer li's stripe of the
         # stacked cache in place (no [B,NKV,S,hd] slice materialization)
         from trace_tpu.kernels.decode_attention import decode_attention
@@ -277,6 +290,22 @@ def _layer(
             k_all = jax.lax.dynamic_index_in_dim(new_cache[0], li, 0, keepdims=False)
             v_all = jax.lax.dynamic_index_in_dim(new_cache[1], li, 0, keepdims=False)
         attn = _attention(q, k_all.astype(x.dtype), v_all.astype(x.dtype), bias)
+    if w8a8:
+        from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
+
+        attn_flat = attn.transpose(0, 2, 1, 3).reshape(B, T, NH * HD)
+        aq, asc = quantize_acts(attn_flat)
+        x = x + quant_apply_w8a8(aq, asc, lp["wo"], (D,), out_dtype=x.dtype)
+        h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
+        I = lp["w_gate"]["q"].shape[-1]
+        hq, hs = quantize_acts(h)  # shared by gate/up
+        gate = quant_apply_w8a8(hq, hs, lp["w_gate"], (I,), out_dtype=jnp.float32)
+        up = quant_apply_w8a8(hq, hs, lp["w_up"], (I,), out_dtype=jnp.float32)
+        act = jax.nn.silu(gate) * up
+        dq_, ds_ = quantize_acts(act)
+        mlp_out = quant_apply_w8a8(dq_, ds_, lp["w_down"], (D,), out_dtype=x.dtype)
+        return x + mlp_out, new_cache
+
     if is_quantized(lp["wo"]):
         from trace_tpu.kernels.quant_matmul import quant_apply
 

@@ -515,6 +515,46 @@ def generate(
     return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))
 
 
+def generate_sharded(
+    params: dict,
+    config: DecoderConfig,
+    prefix_embeds: jax.Array,
+    prefix_mask: jax.Array,
+    combined_embed: jax.Array,
+    *,
+    mesh,
+    **kw,
+) -> GenerateOutput:
+    """Multi-chip generation: prefill + FSM decode compiled under GSPMD.
+
+    ``params`` should be placed via
+    :func:`trace_tpu.runtime.mesh.shard_params_for_inference` (decoder TP
+    over 'model'); the batch shards over 'data'.  XLA partitions the dots
+    over the sharded head/intermediate axes and inserts the ICI collectives
+    — including inside the ``lax.while_loop`` decode body, whose carried
+    KV cache inherits the TP sharding on its kv-head axis.
+
+    The Pallas decode-attention/flash kernels are disabled: XLA cannot
+    partition the custom calls, and its own attention partitions naturally
+    over the sharded head axis (frame-SP handles the ViT side, see
+    encode_prefix_sharded in runtime/pipeline.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    cfg = dataclasses.replace(config, use_decode_kernel=False)
+    dp = lambda *names: NamedSharding(mesh, Pspec(*names))
+    prefix_embeds = jax.device_put(prefix_embeds, dp("data", None, None))
+    prefix_mask = jax.device_put(prefix_mask, dp("data", None))
+    combined_embed = jax.device_put(combined_embed, dp())
+    ft = kw.get("frame_time_ids")
+    if ft is not None:
+        kw["frame_time_ids"] = jax.device_put(ft, dp("data", None, None))
+    return generate(
+        params, cfg, prefix_embeds, prefix_mask, combined_embed,
+        use_flash=False, **kw,
+    )
+
+
 def generate_split(
     params: dict,
     config: DecoderConfig,

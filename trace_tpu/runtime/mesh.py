@@ -88,7 +88,10 @@ def _path_str(path) -> str:
 
 
 def param_spec(path, leaf, mesh: Optional[Mesh] = None) -> P:
-    s = _path_str(path)
+    return _spec_for(_path_str(path), leaf, mesh)
+
+
+def _spec_for(s: str, leaf, mesh: Optional[Mesh] = None) -> P:
     for key, spec in _PARAM_RULES:
         if s.endswith(key) or key in s:
             if len(spec) != getattr(leaf, "ndim", 0):
@@ -116,6 +119,32 @@ def param_shardings(params: dict, mesh: Mesh):
 def shard_params(params: dict, mesh: Mesh) -> dict:
     """Place a params pytree on the mesh per the TP/replication rules."""
     return jax.device_put(params, param_shardings(params, mesh))
+
+
+def inference_param_shardings(params: dict, mesh: Mesh):
+    """Serving placement: decoder TP over 'model', everything else
+    (vision/connector/towers — encode-only, small) replicated.  The ViT
+    parallelizes over the FRAME axis instead (embarrassingly parallel —
+    SURVEY.md §2.3), so replicated weights avoid a TP/frame-SP conflict on
+    the same mesh axis.
+
+    Accepts the full params tree or the decoder subtree (the pipeline's
+    serving layout keeps them separate)."""
+    is_subtree = isinstance(params, dict) and "decoder" not in params
+
+    def spec(path, leaf):
+        s = _path_str(path)
+        if is_subtree:
+            s = "decoder/" + s
+        if s.startswith("decoder"):
+            return NamedSharding(mesh, _spec_for(s, leaf, mesh))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params_for_inference(params: dict, mesh: Mesh) -> dict:
+    return jax.device_put(params, inference_param_shardings(params, mesh))
 
 
 _BATCH_RULES: dict[str, P] = {

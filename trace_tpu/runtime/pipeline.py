@@ -96,6 +96,39 @@ def _preprocess_yuv_jit(yuv_u8):
     return (rgb - mean) / std
 
 
+def encode_prefix_sharded(
+    params: dict,
+    config: TraceConfig,
+    token_ids,          # [B, L] combined-space ids
+    video_pos,          # [B]
+    frames,             # [B, T, S, S, 3] CLIP-normalized
+    frame_time_ids,     # [B, T, 6]
+    table,              # [CV, D] combined embedding
+    mesh,
+):
+    """Frame-sequence-parallel prefix encode under GSPMD.
+
+    Frames shard over ('data', 'model') — one video's 128-frame ViT spreads
+    across the whole mesh (the encode is embarrassingly parallel over
+    frames, SURVEY.md §2.3) with vision weights replicated.  Runs the ViT
+    unchunked: the sequential lax.map chunking is a single-chip VMEM bound,
+    not needed once frames are spread over chips.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    dp = lambda *names: NamedSharding(mesh, Pspec(*names))
+    cfg = dataclasses.replace(config, vit_chunk_size=0)
+    return _encode_prefix_jit(
+        params, cfg,
+        jax.device_put(token_ids, dp("data", None)),
+        jax.device_put(video_pos, dp("data")),
+        jax.device_put(frames, dp("data", "model", None, None, None)),
+        jax.device_put(frame_time_ids, dp("data", "model", None)),
+        jax.device_put(table, dp()),
+        False,  # pallas flash does not partition under GSPMD
+    )
+
+
 @dataclasses.dataclass
 class TracePipeline:
     """Owns params + config + tokenizer; runs single/batched video inference.
