@@ -195,3 +195,74 @@ class TestSampler:
         chunks = split_to_even_chunks(idx, lengths, 2)
         assert sorted(i for c in chunks for i in c) == idx
         assert len(chunks[0]) == len(chunks[1]) == 4
+
+
+class TestShardedTrainLoop:
+    def test_opt_state_init_sharded(self, tmp_path):
+        """tx.init must run on SHARDED params so opt_state inherits the mesh
+        placement (no replicated-then-reshard on the first step)."""
+        from trace_tpu.data.dataset import collate_batch  # noqa
+        from trace_tpu.runtime.mesh import build_mesh
+        from trace_tpu.train.train import train_loop
+
+        tok = ByteTokenizer()
+
+        class FourSamples:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return _dataset_sample(tok, i)
+
+        mesh = build_mesh(8, model_axis=2)
+        params = init_trace_params(CFG, jax.random.PRNGKey(0))
+        recipe = TrainRecipe(stage="sft", total_steps=2, learning_rate=1e-4)
+        params, opt_state, metrics = train_loop(
+            params, CFG, FourSamples(), recipe, batch_size=4, mesh=mesh,
+            log_every=0, checkpoint_dir=str(tmp_path / "ck"), save_every=1,
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        # adamw mu for a TP-sharded weight must carry the model axis
+        import optax  # noqa
+
+        leaves = jax.tree_util.tree_leaves_with_path(opt_state)
+        wq_mu = [
+            (p, l) for p, l in leaves
+            if "wq" in "/".join(str(x) for x in p) and hasattr(l, "sharding")
+        ]
+        assert wq_mu, "no wq moments found in opt_state"
+        assert any("model" in str(l.sharding.spec) for _, l in wq_mu), [
+            str(l.sharding.spec) for _, l in wq_mu
+        ]
+
+        # resume restores and re-places on the mesh without error
+        params2 = init_trace_params(CFG, jax.random.PRNGKey(0))
+        p3, o3, _ = train_loop(
+            params2, CFG, FourSamples(), recipe, batch_size=4, mesh=mesh,
+            log_every=0, checkpoint_dir=str(tmp_path / "ck"), save_every=10,
+        )
+
+
+def _dataset_sample(tok, seed):
+    rng = np.random.default_rng(seed)
+    T = CFG.num_frames
+    n_video = T * tokens_per_frame(CFG)
+    prompt_segs, video_pos = build_prompt_segments(
+        "Find events.", tok, n_video, text_vocab_size=V
+    )
+    events = [{"timestamp": [0.0, 1.0], "score": [4.5], "caption": "a cat"}]
+    resp = event_response_segments(events, tok, text_vocab_size=V)
+    seq = assemble_sequence(
+        prompt_segs + resp, max_len=n_video + 640, video_pos=video_pos,
+        text_vocab_size=V, eos_id=tok.eos_token_id,
+    )
+    return {
+        "frames_u8": rng.integers(0, 255, (T, 56, 56, 3), dtype=np.uint8),
+        "frame_time_ids": rng.integers(2, 12, (T, 6)).astype(np.int32),
+        "token_ids": seq.token_ids,
+        "labels": seq.labels,
+        "time_labels": seq.time_labels,
+        "score_labels": seq.score_labels,
+        "attn_mask": seq.attn_mask,
+        "video_pos": np.int32(seq.video_pos),
+    }

@@ -218,6 +218,15 @@ def train_loop(
 
     from trace_tpu.data.sampler import modality_grouped_indices
 
+    # shard params BEFORE tx.init so the jitted init propagates the mesh
+    # placement into opt_state — initializing on unsharded params would pin
+    # the optimizer state replicated and force a full reshard (or OOM at 7B)
+    # on the first donated step
+    if mesh is not None:
+        from trace_tpu.runtime.mesh import shard_params
+
+        params = shard_params(params, mesh)
+
     tx = build_optimizer(params, recipe)
     opt_state = jax.jit(tx.init)(params)
     step_fn = jax.jit(make_train_step(config, tx), donate_argnums=(0, 1))
@@ -229,14 +238,15 @@ def train_loop(
 
         ckpt = CheckpointManager(checkpoint_dir)
         if resume:
+            param_sh = jax.tree.map(lambda x: getattr(x, "sharding", None), params)
+            opt_sh = jax.tree.map(lambda x: getattr(x, "sharding", None), opt_state)
             restored = ckpt.restore_latest(params, opt_state)
             if restored is not None:
                 params, opt_state, start_step = restored
-
-    if mesh is not None:
-        from trace_tpu.runtime.mesh import shard_params
-
-        params = shard_params(params, mesh)
+                if mesh is not None:
+                    # restored arrays land unsharded; re-place both trees
+                    params = jax.device_put(params, param_sh)
+                    opt_state = jax.device_put(opt_state, opt_sh)
 
     lengths = dataset.modality_lengths() if hasattr(dataset, "modality_lengths") else None
     order = modality_grouped_indices(
