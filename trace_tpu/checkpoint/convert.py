@@ -166,6 +166,71 @@ def convert_mistral_decoder(
     return params
 
 
+def convert_mixtral_decoder(
+    sd: StateDict,
+    config,
+    *,
+    prefix: str = "model.",
+    dtype=jnp.float32,
+) -> dict:
+    """HF MixtralForCausalLM state dict -> MoE decoder params.
+
+    The reference's model zoo routes 'mixtral' backbones at
+    train_mt.py:948-1011 (inactive there — the import is commented out at
+    trace/model/__init__.py:3); this makes the path loadable.  Attention +
+    norms convert exactly like Mistral; the block_sparse_moe maps to the
+    stacked-expert layout:
+
+      gate.weight           [E, D]  -> router  [L, D, E]
+      experts.{j}.w1.weight [I, D]  -> w_gate  [L, E, D, I]
+      experts.{j}.w3.weight [I, D]  -> w_up    [L, E, D, I]
+      experts.{j}.w2.weight [D, I]  -> w_down  [L, E, I, D]
+    """
+    c = config
+    L, E = c.num_layers, c.num_experts
+
+    def get(name: str) -> Array:
+        return np.asarray(sd[name], np.float32)
+
+    # reuse the Mistral mapping for everything but the MLP: synthesize the
+    # dense-MLP keys it expects from layer 0's expert 0 (thrown away below)
+    sd_aug = dict(sd)
+    for i in range(L):
+        moe = f"{prefix}layers.{i}.block_sparse_moe"
+        sd_aug[f"{prefix}layers.{i}.mlp.gate_proj.weight"] = sd[f"{moe}.experts.0.w1.weight"]
+        sd_aug[f"{prefix}layers.{i}.mlp.up_proj.weight"] = sd[f"{moe}.experts.0.w3.weight"]
+        sd_aug[f"{prefix}layers.{i}.mlp.down_proj.weight"] = sd[f"{moe}.experts.0.w2.weight"]
+    params = convert_mistral_decoder(sd_aug, c, prefix=prefix, dtype=dtype)
+
+    layers = dict(params["layers"])
+    for name in ("w_gate", "w_up", "w_down"):
+        layers.pop(name)
+
+    def stack_experts(hf_name: str, transpose: bool):
+        per_layer = []
+        for i in range(L):
+            per_expert = [
+                get(f"{prefix}layers.{i}.block_sparse_moe.experts.{j}.{hf_name}.weight")
+                for j in range(E)
+            ]
+            per_layer.append(np.stack([w.T if transpose else w.T for w in per_expert]))
+        return jnp.asarray(np.stack(per_layer), dtype)
+
+    layers["router"] = jnp.asarray(
+        np.stack([
+            get(f"{prefix}layers.{i}.block_sparse_moe.gate.weight").T
+            for i in range(L)
+        ]),
+        dtype,
+    )
+    layers["w_gate"] = stack_experts("w1", True)   # [L, E, D, I]
+    layers["w_up"] = stack_experts("w3", True)     # [L, E, D, I]
+    layers["w_down"] = stack_experts("w2", True)   # [L, E, I, D]
+    params = dict(params)
+    params["layers"] = layers
+    return params
+
+
 # ---------------------------------------------------------------------------
 # CLIP vision tower
 # ---------------------------------------------------------------------------
@@ -269,7 +334,18 @@ def read_hf_config(path: str) -> dict:
 
 
 def trace_config_from_hf(hf_cfg: dict, **overrides) -> TraceConfig:
-    dec = DecoderConfig(
+    dec_cls = DecoderConfig
+    moe_kw = {}
+    if "mixtral" in hf_cfg.get("model_type", "") or hf_cfg.get("num_local_experts"):
+        from trace_tpu.model.moe import MoEConfig
+
+        dec_cls = MoEConfig
+        moe_kw = dict(
+            num_experts=hf_cfg.get("num_local_experts", 8),
+            top_k=hf_cfg.get("num_experts_per_tok", 2),
+        )
+    dec = dec_cls(
+        **moe_kw,
         vocab_size=hf_cfg.get("vocab_size", 32000),
         hidden_size=hf_cfg.get("hidden_size", 4096),
         intermediate_size=hf_cfg.get("intermediate_size", 14336),
@@ -311,8 +387,10 @@ def convert_trace_checkpoint(
     config = trace_config_from_hf(hf_cfg, dtype=dtype)
     sd = load_checkpoint_tensors(path)
 
+    is_moe = hasattr(config.decoder, "num_experts")
+    dec_convert = convert_mixtral_decoder if is_moe else convert_mistral_decoder
     params = {
-        "decoder": convert_mistral_decoder(sd, config.decoder, dtype=dtype),
+        "decoder": dec_convert(sd, config.decoder, dtype=dtype),
         "connector": convert_spatial_slot(sd, dtype=dtype)
         if config.mm_projector_type == "spatial_slot"
         else _convert_generic_projector(sd, config, dtype=dtype),
