@@ -31,7 +31,7 @@ sys.path.insert(0, ".")
 V100_BASELINE_VIDEOS_PER_SEC = 0.33
 
 
-def zero_params(config, quant: str = "bf16"):
+def zero_params(config, quant: str = "bf16", vit_quant: str = None):
     """Zero-weight params at the right shapes/dtypes — no giant on-device
     init or quantize program runs (the relay misbehaves after ~20GB-working-
     set programs)."""
@@ -46,6 +46,11 @@ def zero_params(config, quant: str = "bf16"):
 
             p = dict(p)
             p["decoder"] = quantize_decoder_params(p["decoder"])
+        if vit_quant == "int8":
+            from trace_tpu.model.quantize import quantize_vision_params
+
+            p = dict(p)
+            p["vision"] = quantize_vision_params(p["vision"])
         return p
 
     shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
@@ -68,6 +73,12 @@ def main():
     ap.add_argument("--quant", choices=["bf16", "int8"], default="int8",
                     help="int8 = weight-only quantized serving config "
                          "(see BENCH_NOTES.md quality caveat)")
+    ap.add_argument("--vit", choices=["bf16", "int8"], default="bf16",
+                    help="vision tower weights/W8A8. bf16 default: int8+W8A8 "
+                         "wins isolated (+12%, w8a8_model_probe) but measured "
+                         "0.55 vs 0.68 videos/s e2e — in-context the int8 ViT "
+                         "program is ~2x slower next to the resident decoder; "
+                         "see BENCH_NOTES.md")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
                     help="KV-cache storage dtype; int8 halves cache HBM — "
                          "what lets decode batch 16 fit next to 7 GB int8 "
@@ -103,9 +114,14 @@ def main():
         args.frames = config.num_frames
         args.decode_tokens = min(args.decode_tokens, 32)
     else:
+        int8 = args.quant == "int8"
+        vit8 = args.vit == "int8"
         config = TraceConfig(
-            decoder=DecoderConfig(kv_cache_dtype=args.kv),  # Mistral-7B
-            vision=VisionConfig(),          # CLIP ViT-L/14-336
+            # act_quant: W8A8 (dynamic per-token int8 activations) on prefill
+            # and the ViT — s8 x s8 MXU dots measured 1.56x prefill and
+            # 1.12x ViT over the dequant path (benchmarks/w8a8_model_probe.py)
+            decoder=DecoderConfig(kv_cache_dtype=args.kv, act_quant=int8),
+            vision=VisionConfig(act_quant=vit8),  # CLIP ViT-L/14-336
             num_frames=args.frames,
             dtype=jnp.bfloat16,
             # half the tunnel bytes; fidelity-neutral for 4:2:0 video sources
@@ -113,7 +129,11 @@ def main():
         )
 
     dev = jax.devices()[0]
-    params = zero_params(config, quant=args.quant if not args.small else "bf16")
+    params = zero_params(
+        config,
+        quant=args.quant if not args.small else "bf16",
+        vit_quant=args.vit if not args.small else "bf16",
+    )
     tok = ByteTokenizer()
     pipe = TracePipeline(params=params, config=config, tokenizer=tok)
     del params  # pipeline dedupes the embed table; drop the outer reference

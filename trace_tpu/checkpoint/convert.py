@@ -435,7 +435,77 @@ def _convert_generic_projector(sd: StateDict, config: TraceConfig, *, dtype=jnp.
                 ),
             })
         return {"layers": layers}
+    if t in (
+        "stc_connector", "stp_connector", "stc_connector_v35",
+        "spatial_conv", "spatial_pool",
+    ):
+        return convert_stc_connector(sd, t, dtype=dtype)
     raise NotImplementedError(f"projector conversion for {t} not implemented")
+
+
+def convert_stc_connector(
+    sd: StateDict,
+    projector_type: str,
+    *,
+    prefix: str = "model.mm_projector.",
+    dtype=jnp.float32,
+) -> dict:
+    """STC/STP-family torch state dict -> stc_connector params.
+
+    Key layout follows the reference module tree (builder.py:138-284):
+    timm RegStage names (s1.b{i}.conv1.conv / .bn = LayerNorm2d affine /
+    se.fc1 / downsample.conv), nn.Sequential sampler (sampler.0.*), and the
+    build_mlp readout (readout.0 / readout.2 / ... — GELUs at odd indices).
+    """
+    from trace_tpu.model.stc_connector import SPECS
+
+    spec = SPECS[projector_type]
+
+    def get(name: str) -> Array:
+        return np.asarray(sd[prefix + name], np.float32)
+
+    def has(name: str) -> bool:
+        return (prefix + name) in sd
+
+    def block(stage: str, i: int) -> dict:
+        b = f"{stage}.b{i + 1}"
+        p = {
+            "conv1": jnp.asarray(get(f"{b}.conv1.conv.weight"), dtype),
+            "ln1_scale": jnp.asarray(get(f"{b}.conv1.bn.weight"), dtype),
+            "ln1_bias": jnp.asarray(get(f"{b}.conv1.bn.bias"), dtype),
+            "conv2": jnp.asarray(get(f"{b}.conv2.conv.weight"), dtype),
+            "ln2_scale": jnp.asarray(get(f"{b}.conv2.bn.weight"), dtype),
+            "ln2_bias": jnp.asarray(get(f"{b}.conv2.bn.bias"), dtype),
+            "se_fc1_w": jnp.asarray(get(f"{b}.se.fc1.weight"), dtype),
+            "se_fc1_b": jnp.asarray(get(f"{b}.se.fc1.bias"), dtype),
+            "se_fc2_w": jnp.asarray(get(f"{b}.se.fc2.weight"), dtype),
+            "se_fc2_b": jnp.asarray(get(f"{b}.se.fc2.bias"), dtype),
+            "conv3": jnp.asarray(get(f"{b}.conv3.conv.weight"), dtype),
+            "ln3_scale": jnp.asarray(get(f"{b}.conv3.bn.weight"), dtype),
+            "ln3_bias": jnp.asarray(get(f"{b}.conv3.bn.bias"), dtype),
+        }
+        if has(f"{b}.downsample.conv.weight"):
+            p["down_conv"] = jnp.asarray(get(f"{b}.downsample.conv.weight"), dtype)
+            p["down_ln_scale"] = jnp.asarray(get(f"{b}.downsample.bn.weight"), dtype)
+            p["down_ln_bias"] = jnp.asarray(get(f"{b}.downsample.bn.bias"), dtype)
+        return p
+
+    params: dict = {
+        "s1": [block("s1", i) for i in range(spec.depth)],
+        "s2": [block("s2", i) for i in range(spec.depth)],
+    }
+    if spec.sampler == "conv":
+        params["sampler_w"] = jnp.asarray(get("sampler.0.weight"), dtype)
+        params["sampler_b"] = jnp.asarray(get("sampler.0.bias"), dtype)
+    mlp = []
+    for i in range(spec.mlp_depth):
+        idx = i * 2
+        mlp.append({
+            "weight": jnp.asarray(get(f"readout.{idx}.weight").T, dtype),
+            "bias": jnp.asarray(get(f"readout.{idx}.bias"), dtype),
+        })
+    params["mlp"] = mlp
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -1,7 +1,7 @@
 """STC/STP connector family: conv-based spatio-temporal downsampling projectors.
 
 Re-implements the reference's alternate connectors (multimodal_projector/
-builder.py:138-284): RegNet-style 2D stages around a 3D conv (or avg-pool)
+builder.py:138-284): timm RegNet stages around a 3D conv (or avg-pool)
 downsampler, followed by an MLP readout.
 
   stc_connector      s1(depth=4) -> Conv3d k=s=(2,2,2) pad 1 -> s2 -> mlp
@@ -10,10 +10,25 @@ downsampler, followed by an MLP readout.
   spatial_conv       depth=0     -> Conv3d k=s=(1,2,2) pad 1       -> mlp
   spatial_pool       depth=0     -> AvgPool3d (1,2,2)              -> mlp
 
-No released TRACE checkpoint ships these weights (production uses
-spatial_slot), so the RegNet stage here is a structural equivalent of timm's
-RegStage (1x1 conv + LN + SiLU, 3x3 conv + LN + SiLU, residual) rather than a
-bit-exact port; shapes and downsampling factors match the reference.
+The RegNet stage is a port of ``timm.models.regnet.RegStage`` at the
+reference's call signature (builder.py:161-169: stride=1, dilation=1,
+act_layer=SiLU, norm_layer=LayerNorm2d), block by block:
+
+  Bottleneck(bottle_ratio=1, group_size=1, se_ratio=0.25):
+    conv1: 1x1 ConvNormAct (bias-free conv + LayerNorm2d + SiLU)
+    conv2: 3x3 ConvNormAct, groups = bottleneck_chs (group_size=1 makes the
+           grouped conv depthwise) + LayerNorm2d + SiLU
+    se:    SEModule(rd_channels=round(in_chs*0.25), SiLU, sigmoid gate)
+    conv3: 1x1 ConvNormAct, apply_act=False
+    residual: + downsample(shortcut) (1x1 conv + LayerNorm2d when
+           in_chs != out_chs — block 1 only — else identity), then SiLU
+
+State-dict layout follows timm's naming (b{i}.conv1.conv.weight,
+b{i}.conv1.bn.weight, b{i}.se.fc1.weight, b{i}.downsample.conv.weight, ...)
+so checkpoint conversion maps keys 1:1 (checkpoint/convert.py
+convert_stc_connector).  timm itself is not installable in this
+environment; the math is pinned by a handwritten torch replica in
+tests/test_stc_parity.py.
 """
 
 from __future__ import annotations
@@ -26,7 +41,8 @@ import jax.numpy as jnp
 
 from trace_tpu.model.vit import layer_norm
 
-LN_EPS = 1e-5
+LN_EPS = 1e-6  # timm LayerNorm2d default eps
+SE_RATIO = 0.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,18 +70,30 @@ def _conv_init(key, shape, dtype):
     return (jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5)).astype(dtype)
 
 
-def _init_reg_block(key, in_ch, out_ch, dtype):
-    k1, k2, k3 = jax.random.split(key, 3)
+def _init_bottleneck(key, in_ch, out_ch, dtype):
+    """timm RegNet Bottleneck params (bottle_ratio=1, group_size=1)."""
+    ks = jax.random.split(key, 6)
+    rd = int(round(in_ch * SE_RATIO))
     p = {
-        "conv1": _conv_init(k1, (out_ch, in_ch, 1, 1), dtype),
+        "conv1": _conv_init(ks[0], (out_ch, in_ch, 1, 1), dtype),
         "ln1_scale": jnp.ones((out_ch,), dtype),
         "ln1_bias": jnp.zeros((out_ch,), dtype),
-        "conv2": _conv_init(k2, (out_ch, out_ch, 3, 3), dtype),
+        # group_size=1 => groups=out_ch => depthwise 3x3: weight [out, 1, 3, 3]
+        "conv2": _conv_init(ks[1], (out_ch, 1, 3, 3), dtype),
         "ln2_scale": jnp.ones((out_ch,), dtype),
         "ln2_bias": jnp.zeros((out_ch,), dtype),
+        "se_fc1_w": _conv_init(ks[2], (rd, out_ch, 1, 1), dtype),
+        "se_fc1_b": jnp.zeros((rd,), dtype),
+        "se_fc2_w": _conv_init(ks[3], (out_ch, rd, 1, 1), dtype),
+        "se_fc2_b": jnp.zeros((out_ch,), dtype),
+        "conv3": _conv_init(ks[4], (out_ch, out_ch, 1, 1), dtype),
+        "ln3_scale": jnp.ones((out_ch,), dtype),
+        "ln3_bias": jnp.zeros((out_ch,), dtype),
     }
     if in_ch != out_ch:
-        p["shortcut"] = _conv_init(k3, (out_ch, in_ch, 1, 1), dtype)
+        p["down_conv"] = _conv_init(ks[5], (out_ch, in_ch, 1, 1), dtype)
+        p["down_ln_scale"] = jnp.ones((out_ch,), dtype)
+        p["down_ln_bias"] = jnp.zeros((out_ch,), dtype)
     return p
 
 
@@ -78,7 +106,7 @@ def init_stc_params(
     params: dict = {"s1": [], "s2": []}
     in_ch = mm_hidden
     for _ in range(spec.depth):
-        params["s1"].append(_init_reg_block(next(ki), in_ch, lm_hidden, dtype))
+        params["s1"].append(_init_bottleneck(next(ki), in_ch, lm_hidden, dtype))
         in_ch = lm_hidden
     mid_ch = lm_hidden if spec.depth else mm_hidden
     if spec.sampler == "conv":
@@ -86,7 +114,7 @@ def init_stc_params(
         params["sampler_w"] = _conv_init(next(ki), (mid_ch, mid_ch, kd, kh, kw), dtype)
         params["sampler_b"] = jnp.zeros((mid_ch,), dtype)
     for _ in range(spec.depth):
-        params["s2"].append(_init_reg_block(next(ki), mid_ch, lm_hidden, dtype))
+        params["s2"].append(_init_bottleneck(next(ki), mid_ch, lm_hidden, dtype))
         mid_ch = lm_hidden
     mlp = []
     d_in = mid_ch
@@ -101,33 +129,40 @@ def init_stc_params(
 
 
 def _ln2d(x, scale, bias):
-    """LayerNorm2d: normalize over the channel axis of NCHW."""
+    """timm LayerNorm2d: normalize the channel axis of NCHW."""
     xt = x.transpose(0, 2, 3, 1)
     xt = layer_norm(xt, scale, bias, LN_EPS)
     return xt.transpose(0, 3, 1, 2)
 
 
-def _reg_block(x, p):
-    """x [N, C, H, W] -> [N, C', H, W]."""
-    h = jax.lax.conv_general_dilated(
-        x, p["conv1"], (1, 1), "SAME",
+def _conv2d(x, w, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
-    h = jax.nn.silu(_ln2d(h, p["ln1_scale"], p["ln1_bias"]))
-    h = jax.lax.conv_general_dilated(
-        h, p["conv2"], (1, 1), "SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    h = jax.nn.silu(_ln2d(h, p["ln2_scale"], p["ln2_bias"]))
-    if "shortcut" in p:
-        x = jax.lax.conv_general_dilated(
-            x, p["shortcut"], (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
-    return x + h
+
+
+def _bottleneck(x, p):
+    """timm RegNet Bottleneck forward (see module docstring). [N,C,H,W]."""
+    shortcut = x
+    h = jax.nn.silu(_ln2d(_conv2d(x, p["conv1"]), p["ln1_scale"], p["ln1_bias"]))
+    groups = h.shape[1]  # depthwise (group_size=1)
+    h = jax.nn.silu(
+        _ln2d(_conv2d(h, p["conv2"], groups=groups), p["ln2_scale"], p["ln2_bias"])
+    )
+    # SE: mean-pool -> fc1 -> SiLU -> fc2 -> sigmoid gate
+    se = jnp.mean(h, axis=(2, 3), keepdims=True)
+    se = jax.nn.silu(_conv2d(se, p["se_fc1_w"]) + p["se_fc1_b"][None, :, None, None])
+    se = _conv2d(se, p["se_fc2_w"]) + p["se_fc2_b"][None, :, None, None]
+    h = h * jax.nn.sigmoid(se)
+    h = _ln2d(_conv2d(h, p["conv3"]), p["ln3_scale"], p["ln3_bias"])
+    if "down_conv" in p:
+        shortcut = _ln2d(
+            _conv2d(shortcut, p["down_conv"]), p["down_ln_scale"], p["down_ln_bias"]
+        )
+    return jax.nn.silu(h + shortcut)
 
 
 def stc_forward(params: dict, x: jax.Array, spec: STCSpec) -> jax.Array:
@@ -142,7 +177,7 @@ def stc_forward(params: dict, x: jax.Array, spec: STCSpec) -> jax.Array:
 
     h = x.reshape(B * T, D, hw, hw)
     for blk in params["s1"]:
-        h = _reg_block(h, blk)
+        h = _bottleneck(h, blk)
     C = h.shape[1]
     h = h.reshape(B, T, C, h.shape[2], h.shape[3]).transpose(0, 2, 1, 3, 4)  # [B,C,T,h,w]
 
@@ -167,7 +202,7 @@ def stc_forward(params: dict, x: jax.Array, spec: STCSpec) -> jax.Array:
     B_, C_, T2, H2, W2 = h.shape
     h = h.transpose(0, 2, 1, 3, 4).reshape(B_ * T2, C_, H2, W2)
     for blk in params["s2"]:
-        h = _reg_block(h, blk)
+        h = _bottleneck(h, blk)
     C3 = h.shape[1]
     h = h.reshape(B_, T2, C3, H2 * W2).transpose(0, 1, 3, 2)  # [B,T2,HW,C]
     h = h.reshape(B_, T2 * H2 * W2, C3)
