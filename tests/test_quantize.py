@@ -73,3 +73,108 @@ def test_full_pipeline_with_quant():
     ts = [[float(i)] for i in range(cfg.num_frames)]
     preds = pipe.infer_events_from_frames(frames, ts, "q", max_new_tokens=8)
     assert preds is not None
+
+
+class TestW8A8:
+    """Dynamic-activation int8 x int8 path vs the weight-only dequant path."""
+
+    def test_quantize_acts_roundtrip(self):
+        from trace_tpu.kernels.quant_matmul import quantize_acts
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 64), jnp.float32)
+        xq, xs = quantize_acts(x)
+        assert xq.dtype == jnp.int8 and xs.shape == (8, 1)
+        recon = xq.astype(jnp.float32) * xs
+        err = jnp.abs(recon - x).max() / jnp.abs(x).max()
+        assert float(err) < 0.01  # 127-level quantization of one row
+
+    def test_w8a8_matches_weight_only(self):
+        from trace_tpu.kernels.quant_matmul import (
+            quant_apply, quant_apply_w8a8, quantize_acts,
+        )
+        from trace_tpu.model.quantize import _quantize_axis
+
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (4, 16, 64), jnp.float32) * 0.5
+        w = jax.random.normal(jax.random.PRNGKey(2), (64, 96), jnp.float32) * 0.1
+        leaf = _quantize_axis(w, (0,))
+
+        ref = quant_apply(x, leaf, (96,), out_dtype=jnp.float32)
+        xq, xs = quantize_acts(x)
+        got = quant_apply_w8a8(xq, xs, leaf, (96,), out_dtype=jnp.float32)
+        denom = float(jnp.abs(ref).mean())
+        rel = float(jnp.abs(got - ref).mean()) / denom
+        assert rel < 0.02, rel  # activation quantization noise only
+
+    def test_prefill_w8a8_close_to_weight_only(self):
+        """Whole-decoder prefill with act_quant on vs off (same int8 weights)."""
+        import dataclasses
+
+        from trace_tpu.model.config import DecoderConfig
+        from trace_tpu.model.mistral import decoder_forward, init_decoder_params
+        from trace_tpu.model.quantize import quantize_decoder_params
+
+        cfg = DecoderConfig.tiny()
+        cfg_aq = dataclasses.replace(cfg, act_quant=True)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        qparams = quantize_decoder_params(params)
+
+        B, T = 2, 12
+        embeds = jax.random.normal(jax.random.PRNGKey(3), (B, T, cfg.hidden_size)) * 0.1
+        mask = jnp.ones((B, T), bool)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+        h_ref, _ = decoder_forward(qparams, cfg, embeds, mask, pos)
+        h_aq, _ = decoder_forward(qparams, cfg_aq, embeds, mask, pos)
+        denom = float(jnp.abs(h_ref).mean())
+        rel = float(jnp.abs(h_aq - h_ref).mean()) / denom
+        assert rel < 0.05, rel
+
+    def test_decode_unaffected_by_act_quant(self):
+        """T=1 cache decode must take the weight-only path regardless."""
+        import dataclasses
+
+        from trace_tpu.model.config import DecoderConfig
+        from trace_tpu.model.mistral import (
+            decoder_forward, init_decoder_params, init_kv_cache,
+        )
+        from trace_tpu.model.quantize import quantize_decoder_params
+
+        cfg = DecoderConfig.tiny()
+        cfg_aq = dataclasses.replace(cfg, act_quant=True)
+        qparams = quantize_decoder_params(
+            init_decoder_params(cfg, jax.random.PRNGKey(0))
+        )
+        B = 2
+        x = jax.random.normal(jax.random.PRNGKey(4), (B, 1, cfg.hidden_size)) * 0.1
+        mask = jnp.ones((B, 1), bool)
+        pos = jnp.zeros((B, 1), jnp.int32)
+
+        def run(c):
+            cache = init_kv_cache(c, B, 8)
+            h, _ = decoder_forward(
+                qparams, c, x, mask, pos, cache=cache,
+                cache_index=jnp.int32(0),
+                cache_mask=jnp.zeros((B, 8), bool),
+            )
+            return h
+
+        assert jnp.allclose(run(cfg), run(cfg_aq))
+
+    def test_vit_w8a8_close(self):
+        import dataclasses
+
+        from trace_tpu.model.config import VisionConfig
+        from trace_tpu.model.quantize import quantize_vision_params
+        from trace_tpu.model.vit import init_vit_params, vit_forward
+
+        cfg = VisionConfig.tiny()
+        cfg_aq = dataclasses.replace(cfg, act_quant=True)
+        params = quantize_vision_params(init_vit_params(cfg, jax.random.PRNGKey(0)))
+        imgs = jax.random.uniform(jax.random.PRNGKey(5), (2, 56, 56, 3))
+
+        a = vit_forward(params, cfg, imgs)
+        b = vit_forward(params, cfg_aq, imgs)
+        denom = float(jnp.abs(a).mean())
+        rel = float(jnp.abs(a - b).mean()) / denom
+        assert rel < 0.05, rel

@@ -134,6 +134,46 @@ def _impl() -> str:
     return os.environ.get("TRACE_TPU_QMM", "xla")
 
 
+def quantize_acts(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-token symmetric int8 activation quantization.
+
+    [..., K] -> (int8 values [..., K], fp32 row scales [..., 1]).  Quantize
+    ONCE per layer block and share across the weights that consume the same
+    activations (q/k/v; gate/up) — the rounding pass over [M, K] is the
+    only overhead W8A8 adds, so amortizing it is what keeps the int8 MXU
+    win (probe: benchmarks/w8a8_probe.py)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def quant_apply_w8a8(
+    xq: jax.Array,     # [..., K] int8 (from quantize_acts)
+    xs: jax.Array,     # [..., 1] fp32 row scales
+    leaf: dict,        # {'q': int8 [K, *out], 's': per-out-channel scale}
+    out_shape: tuple,
+    *,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """True s8 x s8 -> s32 MXU dot; result scaled by row x column scales.
+
+    This is the structural prefill/ViT throughput lever: the v5e int8 MXU
+    peak is ~2x bf16, which convert(int8)->bf16 dequant dots can never
+    reach (measured 145 TF/s prefill ceiling, BENCH_NOTES.md)."""
+    lead = xq.shape[:-1]
+    K = xq.shape[-1]
+    q = leaf["q"].reshape(K, -1)
+    s = leaf["s"].reshape(-1)
+    acc = jax.lax.dot_general(
+        xq.reshape(-1, K), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * xs.reshape(-1, 1) * s.astype(jnp.float32)[None, :]
+    return y.astype(out_dtype).reshape(lead + out_shape)
+
+
 def quant_apply(
     x: jax.Array,      # [..., K]
     leaf,              # {'q': int8 [K, *out], 's': [..., *out]} or plain array

@@ -123,16 +123,27 @@ def fold_normalization_into_patch_embed(
 
 def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = False) -> jax.Array:
     from trace_tpu.model.quantize import dequantize as dq
+    from trace_tpu.model.quantize import is_quantized
 
     c = config
     NH = c.num_heads
     B, T, D = x.shape
     HD = D // NH
 
-    h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
-    q = (jnp.einsum("btd,de->bte", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)
-    k = (jnp.einsum("btd,de->bte", h, dq(lp["wk"], x.dtype), preferred_element_type=jnp.float32) + lp["bk"]).astype(x.dtype)
-    v = (jnp.einsum("btd,de->bte", h, dq(lp["wv"], x.dtype), preferred_element_type=jnp.float32) + lp["bv"]).astype(x.dtype)
+    w8a8 = c.act_quant and is_quantized(lp["wq"])
+    if w8a8:
+        from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
+
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
+        hq, hs = quantize_acts(h)
+        q = (quant_apply_w8a8(hq, hs, lp["wq"], (D,), out_dtype=jnp.float32) + lp["bq"]).astype(x.dtype)
+        k = (quant_apply_w8a8(hq, hs, lp["wk"], (D,), out_dtype=jnp.float32) + lp["bk"]).astype(x.dtype)
+        v = (quant_apply_w8a8(hq, hs, lp["wv"], (D,), out_dtype=jnp.float32) + lp["bv"]).astype(x.dtype)
+    else:
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
+        q = (jnp.einsum("btd,de->bte", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)
+        k = (jnp.einsum("btd,de->bte", h, dq(lp["wk"], x.dtype), preferred_element_type=jnp.float32) + lp["bk"]).astype(x.dtype)
+        v = (jnp.einsum("btd,de->bte", h, dq(lp["wv"], x.dtype), preferred_element_type=jnp.float32) + lp["bv"]).astype(x.dtype)
     q = q.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
@@ -146,6 +157,19 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = F
         probs = jax.nn.softmax(scores * (HD ** -0.5), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bnts,bnsh->bnth", probs, v, preferred_element_type=jnp.float32)
     attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+    if w8a8:
+        aq, asc = quantize_acts(attn)
+        attn = (quant_apply_w8a8(aq, asc, lp["wo"], (D,), out_dtype=jnp.float32) + lp["bo"]).astype(x.dtype)
+        x = x + attn
+        h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], c.layer_eps)
+        hq, hs = quantize_acts(h)
+        I = lp["fc1"]["q"].shape[-1]
+        h1 = (quant_apply_w8a8(hq, hs, lp["fc1"], (I,), out_dtype=jnp.float32) + lp["b1"]).astype(x.dtype)
+        g = quick_gelu(h1)
+        gq, gs = quantize_acts(g)
+        h2 = (quant_apply_w8a8(gq, gs, lp["fc2"], (D,), out_dtype=jnp.float32) + lp["b2"]).astype(x.dtype)
+        return x + h2
+
     attn = (jnp.einsum("btd,de->bte", attn, dq(lp["wo"], x.dtype), preferred_element_type=jnp.float32) + lp["bo"]).astype(x.dtype)
     x = x + attn
 
