@@ -68,7 +68,9 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
     ap.add_argument("--videos", type=int, default=2, help="timed batches")
-    ap.add_argument("--batch", type=int, default=16, help="videos per batch")
+    ap.add_argument("--batch", type=int, default=32, help="videos per batch "
+                    "(32 fits since the decode cache aliases its donated "
+                    "input; falls back by halving on OOM)")
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
     ap.add_argument("--quant", choices=["bf16", "int8"], default="int8",
                     help="int8 = weight-only quantized serving config "

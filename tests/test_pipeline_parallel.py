@@ -53,3 +53,64 @@ def test_jit_compiles_with_dp_composition():
     got = run(params, x)
     want, _ = decoder_forward(params, CFG, x, mask, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+class TestPPTraining:
+    def test_pp_train_step_matches_sequential(self):
+        """A GPipe train step (loss + grads through ppermute/psum, remat on)
+        must match the plain decoder_forward step."""
+        import dataclasses
+
+        import optax
+
+        from trace_tpu.model.config import TraceConfig, DecoderConfig, VisionConfig
+        from trace_tpu.model.trace_model import forward_train, init_trace_params
+        from trace_tpu.parallel.pipeline import build_pp_mesh
+        from trace_tpu.train.train import make_train_step
+
+        cfg = TraceConfig(
+            decoder=dataclasses.replace(DecoderConfig.tiny(), num_layers=4),
+            vision=VisionConfig.tiny(),
+            num_slots=4, num_frames=4, dtype=jnp.float32,
+        )
+        params = init_trace_params(cfg, jax.random.PRNGKey(0))
+
+        rng = np.random.default_rng(0)
+        T = cfg.num_frames
+        from trace_tpu.model.trace_model import tokens_per_frame
+
+        n_video = T * tokens_per_frame(cfg)
+        L = n_video + 16
+        B = 4
+        ids = rng.integers(0, cfg.decoder.vocab_size, size=(B, L)).astype(np.int32)
+        labels = ids.copy()
+        labels[:, : n_video + 4] = -100
+        batch = {
+            "frames": jnp.asarray(rng.normal(size=(B, T, 56, 56, 3)), jnp.float32),
+            "frame_time_ids": jnp.asarray(rng.integers(2, 12, (B, T, 6)), jnp.int32),
+            "token_ids": jnp.asarray(ids),
+            "video_pos": jnp.full((B,), 2, jnp.int32),
+            "attn_mask": jnp.ones((B, L), bool),
+            "labels": jnp.asarray(labels),
+            "time_labels": jnp.full((B, L), -100, jnp.int32),
+            "score_labels": jnp.full((B, L), -100, jnp.int32),
+        }
+
+        mesh = build_pp_mesh(4)
+        tx = optax.sgd(1e-2)
+        opt = jax.jit(tx.init)(params)
+
+        seq_step = jax.jit(make_train_step(cfg, tx, remat=False, use_flash=False))
+        pp_step = jax.jit(make_train_step(
+            cfg, tx, remat=True, pp_mesh=mesh, pp_microbatches=2,
+        ))
+
+        p1, _, m1 = seq_step(params, opt, batch)
+        p2, _, m2 = pp_step(params, opt, batch)
+        assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+        # updated params (i.e. grads) match across the two schedules
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=5e-4, atol=5e-5,
+            )

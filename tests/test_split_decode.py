@@ -56,7 +56,7 @@ def test_split_matches_monolithic(sub):
         lhs.append(lh)
         nps.append(np_)
 
-    got_tokens, got_num = decode_jit(
+    got_tokens, got_num, _ = decode_jit(
         params, CFG, big, jnp.concatenate(cms), jnp.concatenate(lhs),
         jnp.concatenate(nps), emb, heads,
         prefix_len=P, max_new_tokens=new, rng=jax.random.PRNGKey(0),
@@ -90,7 +90,7 @@ def test_split_int8_cache():
         params, cfg, prefix, mask, cache_len=S, use_flash=False
     )
     big = merge_cache_rows(big, cache, jnp.int32(0))
-    got, _ = decode_jit(
+    got, _, _ = decode_jit(
         params, cfg, big, cm, lh, np_, emb, heads,
         prefix_len=P, max_new_tokens=new, rng=jax.random.PRNGKey(0),
     )

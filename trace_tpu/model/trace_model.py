@@ -177,6 +177,8 @@ def forward_train(
     *,
     remat: bool = True,
     use_flash: bool = False,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ) -> Tuple[jax.Array, dict]:
     """Training forward: summed 3-stream CE loss (reference: trace_mistral.py:218-237).
 
@@ -205,10 +207,22 @@ def forward_train(
     # forward + Pallas dq/dkv backward (kernels/flash_backward.py), scores
     # VMEM-only in both directions. The frozen vision tower takes the
     # forward-only kernel (stop_gradient upstream).
-    hidden, _ = decoder_forward(
-        params["decoder"], config.decoder, embeds, batch["attn_mask"], positions,
-        remat=remat, use_flash=use_flash,
-    )
+    if pp_mesh is not None:
+        # pipeline-parallel decoder: layers staged over pp_mesh's 'stage'
+        # axis, GPipe microbatch schedule (parallel/pipeline.py); the rest
+        # of the model (ViT/connector/heads) stays replicated
+        from trace_tpu.parallel.pipeline import pp_decoder_forward
+
+        hidden = pp_decoder_forward(
+            params["decoder"], config.decoder, embeds, batch["attn_mask"],
+            positions, mesh=pp_mesh, num_microbatches=pp_microbatches,
+            remat=remat,
+        )
+    else:
+        hidden, _ = decoder_forward(
+            params["decoder"], config.decoder, embeds, batch["attn_mask"], positions,
+            remat=remat, use_flash=use_flash,
+        )
     logits = compute_logits(params["decoder"], hidden)  # [B, L, CV] fp32
 
     c = config.decoder

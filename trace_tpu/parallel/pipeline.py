@@ -61,13 +61,15 @@ def split_layers_into_stages(layers: dict, num_stages: int) -> dict:
     )
 
 
-def _stage_forward(local_layers, x, config, cos, sin, bias):
+def _stage_forward(local_layers, x, config, cos, sin, bias, remat=False):
     """Run this stage's layer block (cache-less causal forward)."""
 
     def body(h, lp):
         h, _ = _layer(h, lp, config=config, cos=cos, sin=sin, bias=bias)
         return h, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, local_layers)
     return x
 
@@ -81,11 +83,22 @@ def pp_decoder_forward(
     *,
     mesh: Mesh,
     num_microbatches: int,
+    remat: bool = False,
 ) -> jax.Array:
     """Cache-less causal decoder forward, pipelined over mesh axis 'stage'.
 
     Matches decoder_forward(causal=True) output; use for long-sequence
-    training/prefill across stages.  Returns final-norm'ed hidden [B, T, D].
+    training/prefill across stages (``remat=True`` checkpoints each layer
+    inside a stage — GPipe's per-microbatch activation budget).  Returns
+    final-norm'ed hidden [B, T, D].  Differentiable end-to-end: ppermute
+    and psum transpose to their reverse collectives, so one jax.grad over
+    the pipelined loss is the 1F1B-equivalent backward.
+
+    Single-token DECODE deliberately does not run under PP: a one-token
+    step serializes across stages (S hops of latency per token, no
+    microbatch overlap), so serving shards via TP + frame-SP instead
+    (runtime/generate.py generate_sharded); PP here targets long-sequence
+    training and prefill.
     """
     B, T, D = embeds.shape
     M = num_microbatches
@@ -115,7 +128,8 @@ def pp_decoder_forward(
             m = jnp.clip(t - s, 0, M - 1)
             inp = jnp.where(s == 0, x_mb[jnp.clip(t, 0, M - 1)], buf)
             h = _stage_forward(
-                local, inp, config, cos_mb[m], sin_mb[m], bias_mb[m]
+                local, inp, config, cos_mb[m], sin_mb[m], bias_mb[m],
+                remat=remat,
             )
             om = t - (S - 1)
             write = (s == S - 1) & (om >= 0) & (om < M)

@@ -225,7 +225,7 @@ def generate_jit(
         last_hidden = jnp.concatenate(lhs)
         next_pos = jnp.concatenate(nps)
 
-    return _decode_from_state(
+    tokens, num, _ = _decode_from_state(
         params, c, cache, cache_mask, last_hidden, next_pos,
         combined_embed, initial_head,
         prefix_len=P, max_new_tokens=max_new_tokens, temperature=temperature,
@@ -233,6 +233,7 @@ def generate_jit(
         frame_time_ids=frame_time_ids, rng=rng,
         embed_dtype=prefix_embeds.dtype, stop_ids=stop_ids,
     )
+    return tokens, num
 
 
 def _prefill(params, c, prefix_embeds, prefix_mask, *, cache_len, use_flash):
@@ -392,7 +393,11 @@ def _decode_from_state(
 
     final = jax.lax.while_loop(cond, body, state)
     num = jnp.sum(final["tokens"] != PAD_OUTPUT_ID, axis=1)
-    return final["tokens"], num
+    # the final cache is dead to callers, but decode_jit must RETURN it:
+    # donation only aliases input buffers to matching OUTPUTS, and without
+    # the alias XLA copies the whole donated cache into a temp before the
+    # while loop (measured 2.3 GiB at B=16 int8 — what blocked batch 24)
+    return final["tokens"], num, final["cache"]
 
 
 @partial(
@@ -421,12 +426,16 @@ def decode_jit(
     frame_time_ids: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     stop_ids: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, object]:
     """Decode phase as its own executable (serving-style prefill/decode
     split).  Lets prefill run at a smaller batch than decode: prefill's
     activation working set is ~B*P*D while decode's is ~B*D, so on a full
     chip the decode batch can be 2x the largest prefill batch that fits.
-    All rows must share prefix_len (pipeline pads to the common bucket)."""
+    All rows must share prefix_len (pipeline pads to the common bucket).
+
+    Returns (tokens, num_generated, final_cache): the cache output exists
+    only so the donated cache input aliases it (in-place while-loop
+    updates) — discard it."""
     embed_dtype = jax.tree.leaves(cache)[0].dtype
     if isinstance(cache, dict):  # int8 layout stores values as int8
         embed_dtype = combined_embed.dtype
@@ -613,7 +622,7 @@ def generate_split(
     del prefix_embeds
 
     heads = jnp.full((B,), initial_head, jnp.int32)
-    tokens, num = decode_jit(
+    tokens, num, _ = decode_jit(
         params, config, big,
         jnp.concatenate(cms), jnp.concatenate(lhs), jnp.concatenate(nps),
         combined_embed, heads,

@@ -563,11 +563,22 @@ class TracePipeline:
                 temperature=temperature, eos_id=self.tokenizer.eos_token_id,
                 seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
             )
-            out = gen.generate(
-                self._decoder_params, self.config.decoder,
-                jnp.asarray(prefix), jnp.asarray(mask), self._combined,
-                prefill_batch=prefill_batch, **gen_kwargs,
-            )
+            if prefill_batch and prefill_batch < B:
+                # serving split: small prefill executables fill one donated
+                # decode-batch cache; the decode executable returns the cache
+                # so donation aliases it (no 2+ GiB input copy — what used to
+                # block decode batch 24, benchmarks/decode_mem_probe.py)
+                out = gen.generate_split(
+                    self._decoder_params, self.config.decoder,
+                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                    prefill_batch=prefill_batch, **gen_kwargs,
+                )
+            else:
+                out = gen.generate(
+                    self._decoder_params, self.config.decoder,
+                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                    **gen_kwargs,
+                )
             for b in range(B):
                 ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
                 results.append(decode_event_stream(

@@ -167,15 +167,22 @@ def make_train_step(
     *,
     remat: bool = True,
     use_flash: Optional[bool] = None,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics).
 
     use_flash=None picks the Pallas flash kernels (fwd + dq/dkv bwd) on
-    accelerators and the XLA path on CPU."""
+    accelerators and the XLA path on CPU.  pp_mesh pipelines the decoder
+    over its 'stage' axis (GPipe, parallel/pipeline.py) — the Pallas flash
+    path is disabled there (custom calls don't partition under shard_map's
+    stage loop)."""
     if use_flash is None:
         from trace_tpu.runtime.generate import default_use_flash
 
         use_flash = default_use_flash()
+    if pp_mesh is not None:
+        use_flash = False
 
     def train_step(params, opt_state, batch):
         if "frames" not in batch:
@@ -183,7 +190,10 @@ def make_train_step(
             batch["frames"] = preprocess_batch_frames(batch.pop("frames_u8"), config)
 
         def loss_fn(p):
-            return forward_train(p, config, batch, remat=remat, use_flash=use_flash)
+            return forward_train(
+                p, config, batch, remat=remat, use_flash=use_flash,
+                pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
