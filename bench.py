@@ -67,7 +67,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
-    ap.add_argument("--videos", type=int, default=2, help="timed batches")
+    ap.add_argument("--videos", type=int, default=1, help="timed batches "
+                    "(corpus = videos x batch; 1 keeps the prefill phase's "
+                    "resident-prefix footprint inside HBM at batch 32)")
     ap.add_argument("--batch", type=int, default=32, help="videos per batch "
                     "(32 fits since the decode cache aliases its donated "
                     "input; falls back by halving on OOM)")
@@ -208,8 +210,11 @@ def main():
             # prefill's B*P*D activations cap the monolithic batch at 8 on
             # one chip; the serving-style split prefills at 4 (halves the
             # temp cache + working set next to the decode-batch cache) and
-            # decodes the merged cache at the full batch
-            prefill_batch=4 if decode_batch > 8 else None,
+            # decodes the merged cache at the full batch. At batch 32 the
+            # big cache (4.6 GiB) squeezes the prefill phase further ->
+            # prefill 2.
+            prefill_batch=(2 if decode_batch >= 32 else 4)
+            if decode_batch > 8 else None,
         )
 
     B = args.batch
@@ -221,6 +226,12 @@ def main():
             break
         except Exception as e:
             attempts += 1
+            import traceback
+
+            tb = traceback.extract_tb(e.__traceback__)
+            frames = [f"{f.filename.split('/')[-1]}:{f.lineno}:{f.name}"
+                      for f in tb if "trace_tpu" in f.filename or "bench" in f.filename]
+            print("failure path: " + " -> ".join(frames[-6:]), flush=True)
             # the tunneled remote compiler fails transiently (HTTP 500) when
             # the device is near-full; retry once before giving up the size
             retry = attempts % 2 == 1 and "500" in str(e)

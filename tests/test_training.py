@@ -242,6 +242,31 @@ class TestShardedTrainLoop:
             log_every=0, checkpoint_dir=str(tmp_path / "ck"), save_every=10,
         )
 
+    def test_train_loop_pipeline_parallel(self):
+        """train_loop drives the GPipe decoder when given a pp_mesh
+        (reachable from the CLI via --pp-stages)."""
+        from trace_tpu.parallel.pipeline import build_pp_mesh
+        from trace_tpu.train.train import train_loop
+
+        if len(jax.devices()) < 2:
+            pytest.skip("not enough devices")
+        tok = ByteTokenizer()
+
+        class FourSamples:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return _dataset_sample(tok, i)
+
+        params = init_trace_params(CFG, jax.random.PRNGKey(0))
+        recipe = TrainRecipe(stage="sft", total_steps=2, learning_rate=1e-4)
+        _, _, metrics = train_loop(
+            params, CFG, FourSamples(), recipe, batch_size=4,
+            pp_mesh=build_pp_mesh(2), pp_microbatches=2, log_every=0,
+        )
+        assert np.isfinite(float(metrics["loss"]))
+
 
 def _dataset_sample(tok, seed):
     rng = np.random.default_rng(seed)

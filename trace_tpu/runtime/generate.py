@@ -258,6 +258,31 @@ prefill_jit = partial(
 )(_prefill)
 
 
+def _prefill_into(params, c, big, prefix_embeds, prefix_mask, row, *,
+                  cache_len, use_flash):
+    """Prefill a sub-batch and write its rows into the donated full-batch
+    cache at batch offset ``row`` — one executable, so the sub-batch cache
+    is a program temp and the big cache updates in place (no separate
+    merge_cache_rows pass holding both buffers live)."""
+    cache, cm, lh, npos = _prefill(
+        params, c, prefix_embeds, prefix_mask,
+        cache_len=cache_len, use_flash=use_flash,
+    )
+
+    def put(b, s):
+        idx = (jnp.int32(0), row.astype(jnp.int32)) + (jnp.int32(0),) * (b.ndim - 2)
+        return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), idx)
+
+    return jax.tree.map(put, big, cache), cm, lh, npos
+
+
+prefill_into_jit = partial(
+    jax.jit,
+    static_argnames=("c", "cache_len", "use_flash"),
+    donate_argnums=(2,),
+)(_prefill_into)
+
+
 def _decode_from_state(
     params, c, cache, cache_mask, last_hidden, next_pos,
     combined_embed, initial_head, *,
@@ -498,8 +523,13 @@ def generate(
     ``initial_head`` defaults to 1 (time head) matching the production prompt
     that ends with ``<sync>`` (scripts/inference/inference.py:45,54).
     ``prefill_batch`` sub-batches the prefill inside the compiled program
-    (see generate_jit).
+    (see generate_jit).  One-element-list prefix args transfer ownership
+    (see generate_split).
     """
+    if isinstance(prefix_embeds, list):
+        prefix_embeds = prefix_embeds.pop()  # empty the caller's list
+    if isinstance(prefix_mask, list):
+        prefix_mask = prefix_mask.pop()
     B, P, D = prefix_embeds.shape
     bucket = max(pad_to_multiple, ((P + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple)
     if bucket != P:
@@ -584,10 +614,21 @@ def generate_split(
     stop_sequences=None,
 ) -> GenerateOutput:
     """generate() with the serving-style prefill/decode split: prefill runs
-    in `prefill_batch` sub-batches that fill one decode-batch cache in place
-    (merge_cache_rows donates), then a single decode executable runs the
-    full batch.  Prefill's activation working set (~B*P*D) is what caps the
-    monolithic batch on a full chip; decode's (~B*D) is not."""
+    in `prefill_batch` sub-batches that each write their rows into one
+    donated decode-batch cache (prefill_into_jit), then a single decode
+    executable runs the full batch.  Prefill's activation working set
+    (~B*P*D) is what caps the monolithic batch on a full chip; decode's
+    (~B*D) is not.
+
+    ``prefix_embeds``/``prefix_mask`` may be passed as one-element lists:
+    the list is emptied (ownership transfer), so the ~B*P*D prefix buffer
+    is genuinely freed before the decode executable allocates — a caller
+    holding its own binding would otherwise keep it live through the whole
+    call (measured ~0.5 GiB at B=32, part of what OOMs batch 32)."""
+    if isinstance(prefix_embeds, list):
+        prefix_embeds = prefix_embeds.pop()  # empty the caller's list
+    if isinstance(prefix_mask, list):
+        prefix_mask = prefix_mask.pop()
     B, P, D = prefix_embeds.shape
     bucket = max(
         pad_to_multiple,
@@ -606,14 +647,13 @@ def generate_split(
     big = init_kv_cache(config, B, cache_len, dtype=embed_dtype)
     cms, lhs, nps = [], [], []
     for r in range(0, B, prefill_batch):
-        cache, cm, lh, npos = prefill_jit(
-            params, config,
+        big, cm, lh, npos = prefill_into_jit(
+            params, config, big,
             prefix_embeds[r : r + prefill_batch],
             prefix_mask[r : r + prefill_batch],
+            jnp.int32(r),
             cache_len=cache_len, use_flash=use_flash,
         )
-        big = merge_cache_rows(big, cache, jnp.int32(r))
-        del cache
         cms.append(cm)
         lhs.append(lh)
         nps.append(npos)

@@ -537,7 +537,11 @@ class TracePipeline:
         t_decode0 = _time.perf_counter()
         detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
         results: list[EventPredictions] = []
+        # left-pad straight to generate's 128 bucket: padding here means the
+        # generate wrappers see P == bucket and skip their own jnp.pad — at
+        # batch 32 that pad would hold a second ~0.5 GiB prefix buffer live
         L = max(p.shape[0] for p in prefixes)
+        L = max(128, ((L + 127) // 128) * 128)
         for start in range(0, num_items, decode_batch):
             chunk = list(range(start, min(start + decode_batch, num_items)))
             B = len(chunk)
@@ -563,20 +567,24 @@ class TracePipeline:
                 temperature=temperature, eos_id=self.tokenizer.eos_token_id,
                 seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
             )
+            # one-element lists transfer ownership: generate frees the
+            # stacked prefix before its decode executable allocates
+            prefix_ref = [prefix]
+            del prefix
             if prefill_batch and prefill_batch < B:
-                # serving split: small prefill executables fill one donated
+                # serving split: prefill sub-batches write into one donated
                 # decode-batch cache; the decode executable returns the cache
                 # so donation aliases it (no 2+ GiB input copy — what used to
                 # block decode batch 24, benchmarks/decode_mem_probe.py)
                 out = gen.generate_split(
                     self._decoder_params, self.config.decoder,
-                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                    prefix_ref, jnp.asarray(mask), self._combined,
                     prefill_batch=prefill_batch, **gen_kwargs,
                 )
             else:
                 out = gen.generate(
                     self._decoder_params, self.config.decoder,
-                    jnp.asarray(prefix), jnp.asarray(mask), self._combined,
+                    prefix_ref, jnp.asarray(mask), self._combined,
                     **gen_kwargs,
                 )
             for b in range(B):

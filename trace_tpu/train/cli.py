@@ -48,6 +48,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--lora-r", type=int, default=128,
                     help="LoRA rank for --stage lora (reference default)")
     ap.add_argument("--lora-alpha", type=float, default=256.0)
+    ap.add_argument("--pp-stages", type=int, default=0,
+                    help="pipeline-parallel decoder stages over a 'stage' "
+                         "mesh axis (0 = off; GPipe, parallel/pipeline.py)")
+    ap.add_argument("--pp-microbatches", type=int, default=2)
     return ap
 
 
@@ -138,7 +142,15 @@ def main(argv=None):
         )
 
     mesh = None
-    if len(jax.devices()) > 1:
+    pp_mesh = None
+    if args.pp_stages:
+        # PP owns the devices: layers staged over 'stage' (GPipe); combine
+        # with DP/TP meshes on larger slices by passing n_devices > stages
+        from trace_tpu.parallel.pipeline import build_pp_mesh
+
+        pp_mesh = build_pp_mesh(args.pp_stages)
+        print(f"pipeline mesh: {dict(pp_mesh.shape)}")
+    elif len(jax.devices()) > 1:
         mesh = build_mesh(args.mesh_devices or None)
         print(f"mesh: {dict(mesh.shape)}")
 
@@ -148,6 +160,7 @@ def main(argv=None):
         batch_size=args.batch_size, mesh=mesh,
         checkpoint_dir=os.path.join(args.output_dir, "checkpoints"),
         save_every=args.save_steps,
+        pp_mesh=pp_mesh, pp_microbatches=args.pp_microbatches,
     )
     print("final metrics:", {k: float(v) for k, v in metrics.items()})
 

@@ -221,6 +221,8 @@ def train_loop(
     save_every: int = 2000,
     resume: bool = True,
     metrics_path: Optional[str] = None,
+    pp_mesh=None,
+    pp_microbatches: int = 1,
 ):
     """Minimal epoch loop with modality-grouped order, orbax checkpointing,
     and auto-resume (reference: trainer auto-resume train_mt.py:1177-1180)."""
@@ -239,7 +241,12 @@ def train_loop(
 
     tx = build_optimizer(params, recipe)
     opt_state = jax.jit(tx.init)(params)
-    step_fn = jax.jit(make_train_step(config, tx), donate_argnums=(0, 1))
+    step_fn = jax.jit(
+        make_train_step(
+            config, tx, pp_mesh=pp_mesh, pp_microbatches=pp_microbatches
+        ),
+        donate_argnums=(0, 1),
+    )
 
     start_step = 0
     ckpt = None
