@@ -114,3 +114,40 @@ def test_fused_subbatch_prefill_matches(pb):
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(got_n), np.asarray(want_n))
+
+
+def test_generate_split_arena_reuse():
+    """A recycled KV arena (stale contents from a previous batch) must not
+    change tokens: prefill_into overwrites every row's full slot range."""
+    from trace_tpu.runtime.generate import generate_split
+
+    params, emb, prefix, mask, B, P, new = _setup(jax.random.PRNGKey(4))
+    prefix2 = (
+        jax.random.normal(jax.random.PRNGKey(11), prefix.shape) * 0.1
+    ).astype(prefix.dtype)
+
+    want = generate_split(
+        params, CFG, prefix2, mask, emb,
+        prefill_batch=2, max_new_tokens=new, seed=0, use_flash=False,
+    )
+
+    first = generate_split(
+        params, CFG, prefix, mask, emb,
+        prefill_batch=2, max_new_tokens=new, seed=0, use_flash=False,
+    )
+    assert first.cache is not None
+    got = generate_split(
+        params, CFG, prefix2, mask, emb,
+        prefill_batch=2, max_new_tokens=new, seed=0, use_flash=False,
+        cache=first.cache,
+    )
+    np.testing.assert_array_equal(got.tokens, want.tokens)
+
+    # shape-mismatched arena falls back to a fresh allocation
+    bad = init_kv_cache(CFG, B, P + new + 128, dtype=prefix.dtype)
+    got2 = generate_split(
+        params, CFG, prefix2, mask, emb,
+        prefill_batch=2, max_new_tokens=new, seed=0, use_flash=False,
+        cache=bad,
+    )
+    np.testing.assert_array_equal(got2.tokens, want.tokens)

@@ -39,3 +39,45 @@ def test_pipeline_yuv_mode_runs():
     ts = [[float(i)] for i in range(T)]
     preds = pipe.infer_events_from_frames(frames, ts, "q", max_new_tokens=8)
     assert preds is not None
+
+
+def test_band_upload_matches_full_frame():
+    """Content-band upload must be bit-identical to uploading the whole
+    pad-squared frame: outside the band the squared frame is the uniform
+    fill, whose wire round-trip the device canvas reproduces exactly."""
+    import jax.numpy as jnp
+
+    from trace_tpu.model.vit import CLIP_IMAGE_MEAN
+    from trace_tpu.runtime.pipeline import (
+        _preprocess_yuv_band_jit,
+        _preprocess_yuv_jit,
+    )
+    from trace_tpu.video.preprocess import (
+        content_band,
+        host_downscale,
+        i420_fill_rgb01,
+        rgb_to_i420_np,
+    )
+
+    rng = np.random.default_rng(2)
+    S = 64
+    for H, W in [(48, 64), (64, 40), (36, 64)]:  # landscape, portrait, 16:9-ish
+        base = rng.normal(size=(2, H // 4, W // 4, 3))
+        frames = np.clip(
+            255 * (base - base.min()) / (base.max() - base.min()), 0, 255
+        ).astype(np.uint8)
+        frames = np.repeat(np.repeat(frames, 4, axis=1), 4, axis=2)
+
+        squared = host_downscale(frames, S, "pad")
+        full = np.asarray(_preprocess_yuv_jit(jnp.asarray(rgb_to_i420_np(squared))))
+
+        top, h, left, w = content_band(H, W, S)
+        assert (h, w) != (S, S)
+        band = np.ascontiguousarray(squared[:, top : top + h, left : left + w])
+        fill = (np.asarray(CLIP_IMAGE_MEAN) * 255).astype(np.uint8)
+        got = np.asarray(_preprocess_yuv_band_jit(
+            jnp.asarray(rgb_to_i420_np(band)),
+            jnp.int32(top), jnp.int32(left),
+            jnp.asarray(i420_fill_rgb01(fill)), S,
+        ))
+        np.testing.assert_allclose(got, full, atol=1e-5)

@@ -79,6 +79,10 @@ def build_combined_embedding(
 class GenerateOutput:
     tokens: np.ndarray        # [B, max_new_tokens], PAD_OUTPUT_ID after finish
     num_generated: np.ndarray  # [B]
+    # generate_split only: the final KV cache, returned so a serving loop can
+    # recycle one preallocated arena across batches (donation keeps it the
+    # same physical buffer — no realloc, no HBM fragmentation). Discardable.
+    cache: object = None
 
 
 # ---------------------------------------------------------------------------
@@ -612,6 +616,7 @@ def generate_split(
     constrain_time: bool = False,
     frame_time_ids: Optional[jax.Array] = None,
     stop_sequences=None,
+    cache=None,
 ) -> GenerateOutput:
     """generate() with the serving-style prefill/decode split: prefill runs
     in `prefill_batch` sub-batches that each write their rows into one
@@ -624,7 +629,14 @@ def generate_split(
     the list is emptied (ownership transfer), so the ~B*P*D prefix buffer
     is genuinely freed before the decode executable allocates — a caller
     holding its own binding would otherwise keep it live through the whole
-    call (measured ~0.5 GiB at B=32, part of what OOMs batch 32)."""
+    call (measured ~0.5 GiB at B=32, part of what OOMs batch 32).
+
+    ``cache``: a preallocated KV arena (init_kv_cache shapes) to reuse —
+    donated through prefill and decode, returned on ``GenerateOutput.cache``
+    as the SAME physical buffer for the next call.  Allocating the 2+ GiB
+    contiguous K/V arrays once up front, before other traffic fragments
+    HBM, is what lets decode batch 32 fit on one chip; shape mismatches
+    fall back to a fresh allocation."""
     if isinstance(prefix_embeds, list):
         prefix_embeds = prefix_embeds.pop()  # empty the caller's list
     if isinstance(prefix_mask, list):
@@ -644,7 +656,22 @@ def generate_split(
     cache_len = bucket + max_new_tokens
 
     embed_dtype = prefix_embeds.dtype
-    big = init_kv_cache(config, B, cache_len, dtype=embed_dtype)
+    big = None
+    if cache is not None:
+        want = jax.eval_shape(
+            lambda: init_kv_cache(config, B, cache_len, dtype=embed_dtype)
+        )
+        have = jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), cache
+        )
+        if jax.tree.structure(want) == jax.tree.structure(have) and all(
+            a.shape == b.shape and a.dtype == b.dtype
+            for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(have))
+        ):
+            big = cache
+        del cache
+    if big is None:
+        big = init_kv_cache(config, B, cache_len, dtype=embed_dtype)
     cms, lhs, nps = [], [], []
     for r in range(0, B, prefill_batch):
         big, cm, lh, npos = prefill_into_jit(
@@ -662,7 +689,7 @@ def generate_split(
     del prefix_embeds
 
     heads = jnp.full((B,), initial_head, jnp.int32)
-    tokens, num, _ = decode_jit(
+    tokens, num, big = decode_jit(
         params, config, big,
         jnp.concatenate(cms), jnp.concatenate(lhs), jnp.concatenate(nps),
         combined_embed, heads,
@@ -672,4 +699,6 @@ def generate_split(
         rng=jax.random.PRNGKey(seed),
         stop_ids=pack_stop_sequences(stop_sequences),
     )
-    return GenerateOutput(tokens=np.asarray(tokens), num_generated=np.asarray(num))
+    return GenerateOutput(
+        tokens=np.asarray(tokens), num_generated=np.asarray(num), cache=big
+    )

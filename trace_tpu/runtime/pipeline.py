@@ -96,6 +96,28 @@ def _preprocess_yuv_jit(yuv_u8):
     return (rgb - mean) / std
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _preprocess_yuv_band_jit(yuv_band, top, left, canvas_rgb01, size):
+    """Content-band I420 -> normalized S x S RGB: convert only the uploaded
+    band, place it on a canvas of the fill color's wire round-trip value
+    (bit-identical to uploading the whole squared frame — the pad bands are
+    uniform, see preprocess.content_band).  Cuts tunnel bytes another
+    25-43% after yuv420 (aspect-dependent)."""
+    from trace_tpu.video.preprocess import i420_to_rgb
+    from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
+    std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
+    band = (i420_to_rgb(yuv_band) / 255.0 - mean) / std
+    T = band.shape[0]
+    canvas = jnp.broadcast_to(
+        (canvas_rgb01 - mean) / std, (T, size, size, 3)
+    )
+    return jax.lax.dynamic_update_slice(
+        canvas, band, (jnp.int32(0), top, left, jnp.int32(0))
+    )
+
+
 def encode_prefix_sharded(
     params: dict,
     config: TraceConfig,
@@ -193,7 +215,8 @@ class TracePipeline:
         ).astype(np.int32)
         # frames larger than the ViT input downscale on host first — the
         # host->device link is the bottleneck in tunneled setups
-        if frames_u8.shape[1] * frames_u8.shape[2] > int(1.3 * S * S):
+        H0, W0 = frames_u8.shape[1], frames_u8.shape[2]
+        if H0 * W0 > int(1.3 * S * S):
             from trace_tpu.video.preprocess import host_downscale
 
             frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
@@ -202,10 +225,32 @@ class TracePipeline:
             and frames_u8.shape[1] == S and frames_u8.shape[2] == S
             and S % 4 == 0
         ):
-            from trace_tpu.video.preprocess import rgb_to_i420_np
+            from trace_tpu.video.preprocess import (
+                CLIP_IMAGE_MEAN,
+                content_band,
+                i420_fill_rgb01,
+                rgb_to_i420_np,
+            )
 
-            yuv = rgb_to_i420_np(np.ascontiguousarray(frames_u8))
-            frames = _preprocess_yuv_jit(jnp.asarray(yuv)).astype(cfg.dtype)
+            top, h, left, w = (
+                content_band(H0, W0, S)
+                if cfg.image_aspect_ratio == "pad"
+                else (0, S, 0, S)
+            )
+            if (h, w) != (S, S):
+                # upload only the rows/cols that aren't the uniform pad color
+                band = np.ascontiguousarray(
+                    frames_u8[:, top : top + h, left : left + w]
+                )
+                fill = (np.asarray(CLIP_IMAGE_MEAN) * 255).astype(np.uint8)
+                frames = _preprocess_yuv_band_jit(
+                    jnp.asarray(rgb_to_i420_np(band)),
+                    jnp.int32(top), jnp.int32(left),
+                    jnp.asarray(i420_fill_rgb01(fill)), S,
+                ).astype(cfg.dtype)
+            else:
+                yuv = rgb_to_i420_np(np.ascontiguousarray(frames_u8))
+                frames = _preprocess_yuv_jit(jnp.asarray(yuv)).astype(cfg.dtype)
         else:
             frames = _preprocess_jit(
                 jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
@@ -507,6 +552,7 @@ class TracePipeline:
         prefixes: list = []   # [L_i, D] device arrays
         masks: list[np.ndarray] = []
         frame_ids: list[np.ndarray] = []
+        kv_arena = None
         with ThreadPoolExecutor(max_workers=3) as pool:
             futures = [pool.submit(prepare_batch, b) for b in batches[:4]]
             next_submit = 4
@@ -525,6 +571,20 @@ class TracePipeline:
                         )
                         for t in ts
                     ]).astype(np.int32))
+                if kv_arena is None and prefill_batch and prefill_batch < decode_batch:
+                    # grab the decode-batch KV arena NOW, while HBM is still
+                    # mostly unfragmented: the 2+ GiB contiguous K/V arrays
+                    # stop fitting once prefix/upload buffers scatter through
+                    # the arena (what OOMed batch 32 despite a 12.4 GiB AOT
+                    # peak).  Sized from the first batch's prefix bucket —
+                    # fixed-prompt corpora (all the VTG tasks) never exceed it;
+                    # a longer later chunk falls back to a fresh allocation.
+                    L0 = max(p.shape[0] for p in prefixes)
+                    L0 = max(128, ((L0 + 127) // 128) * 128)
+                    kv_arena = gen.init_kv_cache(
+                        self.config.decoder, decode_batch,
+                        L0 + max_new_tokens, dtype=self.config.dtype,
+                    )
 
         # encode phase ends when the last prefix is materialized
         if prefixes:
@@ -579,8 +639,9 @@ class TracePipeline:
                 out = gen.generate_split(
                     self._decoder_params, self.config.decoder,
                     prefix_ref, jnp.asarray(mask), self._combined,
-                    prefill_batch=prefill_batch, **gen_kwargs,
+                    prefill_batch=prefill_batch, cache=kv_arena, **gen_kwargs,
                 )
+                kv_arena = out.cache  # same physical buffer, recycled
             else:
                 out = gen.generate(
                     self._decoder_params, self.config.decoder,

@@ -41,6 +41,60 @@ def host_downscale(
     return out
 
 
+def content_band(H: int, W: int, S: int) -> tuple:
+    """Rows/cols of the pad-squared+resized S x S frame that can differ from
+    the uniform fill color: the resized content plus the bicubic bleed into
+    the first pad rows.  Everything outside is EXACTLY the fill color
+    (bicubic of a constant is that constant), so only the band needs to
+    cross the host->device link; the device reconstructs the rest.
+
+    Returns (top, h, left, w) aligned for I420 (even offsets, sizes % 4),
+    covering the full frame when it is square.
+    """
+    side = max(H, W)
+    scale = side / S  # input px per output px
+    # cv2 bicubic support radius is 2 input px; an output px whose support
+    # lies fully inside the uniform pad equals the fill exactly
+    margin = int(np.ceil(2.0 / scale)) + 2
+
+    def band(extent_in: int, offset_in: int):
+        lo = int(np.floor(offset_in / scale)) - margin
+        hi = int(np.ceil((offset_in + extent_in) / scale)) + margin
+        lo, hi = max(0, lo), min(S, hi)
+        lo -= lo % 2                      # chroma-pair alignment
+        n = hi - lo
+        n += (-n) % 4                     # I420 plane packing wants % 4
+        if lo + n > S:
+            lo = S - n
+        return lo, n
+
+    if W > H:
+        top, h = band(H, (side - H) // 2)
+        return top, h, 0, S
+    if H > W:
+        left, w = band(W, (side - W) // 2)
+        return 0, S, left, w
+    return 0, S, 0, S
+
+
+def i420_fill_rgb01(fill: np.ndarray) -> np.ndarray:
+    """The fill color's RGB in [0, 1] after the I420 wire round-trip — what
+    pad pixels come out as on the full-frame yuv420 path.  The device-side
+    canvas uses this so band reconstruction is bit-identical to uploading
+    the whole squared frame."""
+    import cv2
+
+    patch = np.empty((4, 4, 3), np.uint8)
+    patch[:] = fill
+    yuv = cv2.cvtColor(patch, cv2.COLOR_RGB2YUV_I420)  # [6, 4]: Y*4, U, V
+    y, u, v = float(yuv[0, 0]), float(yuv[4, 0]) - 128.0, float(yuv[5, 0]) - 128.0
+    yf = 1.164 * (y - 16.0)
+    rgb = np.asarray(
+        [yf + 1.596 * v, yf - 0.391 * u - 0.813 * v, yf + 2.018 * u], np.float32
+    )
+    return np.clip(rgb, 0.0, 255.0) / 255.0
+
+
 def rgb_to_i420_np(frames: np.ndarray) -> np.ndarray:
     """Host: uint8 RGB [T, H, W, 3] -> planar I420 [T, H*3//2, W] uint8.
 
