@@ -72,7 +72,10 @@ def main():
     )
     tx = build_optimizer(params, recipe)
     opt_state = jax.jit(tx.init)(params)
-    step_fn = jax.jit(make_train_step(config, tx), donate_argnums=(0, 1))
+    step_fn = jax.jit(
+        make_train_step(config, tx, freeze_stage=args.stage),
+        donate_argnums=(0, 1),
+    )
 
     B, T = args.batch, args.frames
     n_video = T * tokens_per_frame(config)

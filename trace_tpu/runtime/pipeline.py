@@ -197,10 +197,18 @@ class TracePipeline:
         )
         return prefix  # [1, P, D]
 
-    def _prepare_sample_host(self, frames_u8, ts, instruction, template="llama_2"):
+    def _prepare_sample_host(self, frames_u8, ts, instruction, template="llama_2",
+                             defer_preprocess=False):
         """Host side of sample prep: tokenize, downscale, start the frame
         upload (device_put is async — callable from a producer thread so
-        uploads overlap the previous batch's encode)."""
+        uploads overlap the previous batch's encode).
+
+        defer_preprocess=True keeps the frames as the uploaded uint8 I420
+        band (a ("yuv_band", ...) tuple resolved by _encode_prepared): a
+        queued video then holds ~16 MB on device instead of the ~87 MB
+        normalized bf16 buffer — with 4 producer batches in flight that is
+        the difference between the decode-batch-32 KV arena fitting through
+        the encode phase or not."""
         cfg = self.config
         S = cfg.vision.image_size
         prompt = conv.build_trace_prompt(instruction, template_name=template)
@@ -243,14 +251,21 @@ class TracePipeline:
                     frames_u8[:, top : top + h, left : left + w]
                 )
                 fill = (np.asarray(CLIP_IMAGE_MEAN) * 255).astype(np.uint8)
-                frames = _preprocess_yuv_band_jit(
+                args = (
                     jnp.asarray(rgb_to_i420_np(band)),
                     jnp.int32(top), jnp.int32(left),
                     jnp.asarray(i420_fill_rgb01(fill)), S,
-                ).astype(cfg.dtype)
+                )
+                if defer_preprocess:
+                    frames = ("yuv_band",) + args
+                else:
+                    frames = _preprocess_yuv_band_jit(*args).astype(cfg.dtype)
             else:
-                yuv = rgb_to_i420_np(np.ascontiguousarray(frames_u8))
-                frames = _preprocess_yuv_jit(jnp.asarray(yuv)).astype(cfg.dtype)
+                yuv = jnp.asarray(rgb_to_i420_np(np.ascontiguousarray(frames_u8)))
+                if defer_preprocess:
+                    frames = ("yuv_full", yuv)
+                else:
+                    frames = _preprocess_yuv_jit(yuv).astype(cfg.dtype)
         else:
             frames = _preprocess_jit(
                 jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
@@ -294,7 +309,14 @@ class TracePipeline:
             video_pos[b] = vp + pad
             mask[b, pad:] = True
 
-        frames = jnp.stack([s[2] for s in per_sample])
+        def resolve(f):
+            if isinstance(f, tuple) and f and f[0] == "yuv_band":
+                return _preprocess_yuv_band_jit(*f[1:]).astype(cfg.dtype)
+            if isinstance(f, tuple) and f and f[0] == "yuv_full":
+                return _preprocess_yuv_jit(f[1]).astype(cfg.dtype)
+            return f
+
+        frames = jnp.stack([resolve(s[2]) for s in per_sample])
         time_ids = jnp.stack([jnp.asarray(s[3]) for s in per_sample])
 
         prefix = _encode_prefix_jit(
@@ -543,7 +565,12 @@ class TracePipeline:
             out = []
             for i in idxs:
                 f, ts, q = load_item(i)
-                out.append((self._prepare_sample_host(f, ts, q, template), ts))
+                out.append((
+                    self._prepare_sample_host(
+                        f, ts, q, template, defer_preprocess=True
+                    ),
+                    ts,
+                ))
             return out
 
         import time as _time
@@ -558,6 +585,22 @@ class TracePipeline:
             next_submit = 4
             for bi in range(len(batches)):
                 prepared = futures[bi].result()
+                if kv_arena is None and prefill_batch and prefill_batch < decode_batch:
+                    # grab the decode-batch KV arena NOW, before the first
+                    # encode program runs: the 2+ GiB contiguous K/V arrays
+                    # stop fitting once prefix/frame buffers scatter through
+                    # HBM (what OOMed batch 32 despite a 12.4 GiB AOT peak).
+                    # The prefix length is just the expanded token count —
+                    # known from host tokenization alone.  Sized from the
+                    # first batch; fixed-prompt corpora (all the VTG tasks)
+                    # never exceed it, and a longer later chunk falls back
+                    # to a fresh allocation.
+                    L0 = max(len(p[0]) for p, _ in prepared)
+                    L0 = max(128, ((L0 + 127) // 128) * 128)
+                    kv_arena = gen.init_kv_cache(
+                        self.config.decoder, decode_batch,
+                        L0 + max_new_tokens, dtype=self.config.dtype,
+                    )
                 if next_submit < len(batches):
                     futures.append(pool.submit(prepare_batch, batches[next_submit]))
                     next_submit += 1
@@ -571,20 +614,6 @@ class TracePipeline:
                         )
                         for t in ts
                     ]).astype(np.int32))
-                if kv_arena is None and prefill_batch and prefill_batch < decode_batch:
-                    # grab the decode-batch KV arena NOW, while HBM is still
-                    # mostly unfragmented: the 2+ GiB contiguous K/V arrays
-                    # stop fitting once prefix/upload buffers scatter through
-                    # the arena (what OOMed batch 32 despite a 12.4 GiB AOT
-                    # peak).  Sized from the first batch's prefix bucket —
-                    # fixed-prompt corpora (all the VTG tasks) never exceed it;
-                    # a longer later chunk falls back to a fresh allocation.
-                    L0 = max(p.shape[0] for p in prefixes)
-                    L0 = max(128, ((L0 + 127) // 128) * 128)
-                    kv_arena = gen.init_kv_cache(
-                        self.config.decoder, decode_batch,
-                        L0 + max_new_tokens, dtype=self.config.dtype,
-                    )
 
         # encode phase ends when the last prefix is materialized
         if prefixes:

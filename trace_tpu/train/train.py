@@ -169,6 +169,7 @@ def make_train_step(
     use_flash: Optional[bool] = None,
     pp_mesh=None,
     pp_microbatches: int = 1,
+    freeze_stage: Optional[str] = None,
 ):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics).
 
@@ -176,7 +177,15 @@ def make_train_step(
     accelerators and the XLA path on CPU.  pp_mesh pipelines the decoder
     over its 'stage' axis (GPipe, parallel/pipeline.py) — the Pallas flash
     path is disabled there (custom calls don't partition under shard_map's
-    stage loop)."""
+    stage loop).
+
+    freeze_stage applies the stage's freeze policy (param_group) as
+    stop_gradient INSIDE the loss: the optimizer's set_to_zero already
+    nulls frozen updates, but without this the full frozen-grads tree
+    materializes — +14 GB for a frozen 7B backbone, the difference between
+    stage-1 training fitting one 16 GB chip or not.  Cotangents for
+    stopped params are symbolic zeros XLA folds away; the backward pass
+    through the frozen layers still runs (the projector's grads need it)."""
     if use_flash is None:
         from trace_tpu.runtime.generate import default_use_flash
 
@@ -189,7 +198,15 @@ def make_train_step(
             batch = dict(batch)
             batch["frames"] = preprocess_batch_frames(batch.pop("frames_u8"), config)
 
+        if freeze_stage is not None:
+            labels = param_labels(params, freeze_stage)
+
         def loss_fn(p):
+            if freeze_stage is not None:
+                p = jax.tree.map(
+                    lambda l, x: jax.lax.stop_gradient(x) if l == "frozen" else x,
+                    labels, p,
+                )
             return forward_train(
                 p, config, batch, remat=remat, use_flash=use_flash,
                 pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
@@ -243,7 +260,8 @@ def train_loop(
     opt_state = jax.jit(tx.init)(params)
     step_fn = jax.jit(
         make_train_step(
-            config, tx, pp_mesh=pp_mesh, pp_microbatches=pp_microbatches
+            config, tx, pp_mesh=pp_mesh, pp_microbatches=pp_microbatches,
+            freeze_stage=recipe.stage,
         ),
         donate_argnums=(0, 1),
     )
