@@ -200,13 +200,17 @@ def main():
     def run_corpus(decode_batch: int):
         return pipe.infer_events_corpus(
             load_item, n_videos,
-            encode_batch=min(4, decode_batch),
+            # the encode executable's temps run ~0.56 GiB per video in the
+            # batch (benchmarks AOT: 3.45 GiB at batch 4); next to the
+            # batch-32 KV arena that overflows the 15.75 GiB usable HBM ->
+            # encode 2 when the arena is big
+            encode_batch=(2 if decode_batch >= 32 else min(4, decode_batch)),
             decode_batch=decode_batch,
             max_new_tokens=args.decode_tokens, temperature=0.0,
-            # big-batch decode needs the tower's HBM back (cache ~2.3 GB per
-            # 8 rows next to 7 GB int8 weights); smaller batches skip the
-            # ~40 s tunneled host round-trip
-            offload_vision=True if decode_batch >= 16 else None,
+            # None = pipeline auto: offload only for unquantized weights.
+            # With int8 weights + the preallocated arena, decode fits with
+            # the tower RESIDENT, skipping a 0.6 GB re-upload per corpus
+            offload_vision=None,
             # prefill's B*P*D activations cap the monolithic batch at 8 on
             # one chip; the serving-style split prefills at 4 (halves the
             # temp cache + working set next to the decode-batch cache) and
