@@ -57,3 +57,38 @@ def test_vision_offload_roundtrip(pipe):
         lambda i: items[i], 2, max_new_tokens=8, constrain_time=True
     )
     assert len(c) == 2
+
+
+def test_corpus_split_store_path(pipe):
+    """Split mode (prefill_batch < decode_batch) coalesces prefixes into
+    per-chunk stores + a recycled KV arena; results must match the plain
+    per-chunk path."""
+    items = _items(pipe, 6)
+    want = pipe.infer_events_corpus(
+        lambda i: items[i], 6, encode_batch=2, decode_batch=2,
+        max_new_tokens=12,
+    )
+    got = pipe.infer_events_corpus(
+        lambda i: items[i], 6, encode_batch=2, decode_batch=4,
+        prefill_batch=2, max_new_tokens=12,
+    )
+    for a, b in zip(want, got):
+        assert a.to_dict() == b.to_dict()
+
+
+def test_corpus_split_bucket_overflow(pipe):
+    """A later prompt longer than the first batch's bucket falls back to
+    per-video rows for its chunks without corrupting earlier chunks."""
+    items = _items(pipe, 4)
+    long_q = "why " * 80  # ~320 byte-tokens past the first bucket
+    items[3] = (items[3][0], items[3][1], long_q)
+    want = [
+        pipe.infer_events_from_frames(f, ts, q, max_new_tokens=10)
+        for f, ts, q in items
+    ]
+    got = pipe.infer_events_corpus(
+        lambda i: items[i], 4, encode_batch=2, decode_batch=2,
+        prefill_batch=1, max_new_tokens=10,
+    )
+    for a, b in zip(want, got):
+        assert a.to_dict() == b.to_dict()

@@ -96,6 +96,18 @@ def _preprocess_yuv_jit(yuv_u8):
     return (rgb - mean) / std
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _store_prefix_rows(store, rows, b0):
+    """Write encoded prefix rows into a per-chunk store at batch offset b0,
+    in place (donated), left-padding each row to the store's bucket."""
+    pad = store.shape[1] - rows.shape[1]
+    rows = jnp.pad(rows, ((0, 0), (pad, 0), (0, 0)))
+    return jax.lax.dynamic_update_slice(
+        store, rows.astype(store.dtype),
+        (b0, jnp.int32(0), jnp.int32(0)),
+    )
+
+
 @partial(jax.jit, static_argnames=("size",))
 def _preprocess_yuv_band_jit(yuv_band, top, left, canvas_rgb01, size):
     """Content-band I420 -> normalized S x S RGB: convert only the uploaded
@@ -576,16 +588,26 @@ class TracePipeline:
         import time as _time
 
         t_encode0 = _time.perf_counter()
-        prefixes: list = []   # [L_i, D] device arrays
-        masks: list[np.ndarray] = []
+        prefixes: dict = {}   # video idx -> [L_i, D] row (non-split / overflow)
+        masks: dict = {}      # video idx -> 1-D bool, len == its prefix rows
         frame_ids: list[np.ndarray] = []
         kv_arena = None
+        # Split mode coalesces encoded rows straight into per-decode-chunk
+        # stores [B_chunk, L_bucket, D]: no per-video buffers scattered
+        # through HBM (fragmentation) and no second stack copy in the
+        # decode loop — both OOMed decode batch 32.
+        stores: dict = {}
+        legacy_chunks: set = set()
+        L_bucket = None
+        split_mode = bool(prefill_batch and prefill_batch < decode_batch)
+        D = self.config.decoder.hidden_size
+
         with ThreadPoolExecutor(max_workers=3) as pool:
             futures = [pool.submit(prepare_batch, b) for b in batches[:4]]
             next_submit = 4
             for bi in range(len(batches)):
                 prepared = futures[bi].result()
-                if kv_arena is None and prefill_batch and prefill_batch < decode_batch:
+                if kv_arena is None and split_mode:
                     # grab the decode-batch KV arena NOW, before the first
                     # encode program runs: the 2+ GiB contiguous K/V arrays
                     # stop fitting once prefix/frame buffers scatter through
@@ -596,17 +618,55 @@ class TracePipeline:
                     # never exceed it, and a longer later chunk falls back
                     # to a fresh allocation.
                     L0 = max(len(p[0]) for p, _ in prepared)
-                    L0 = max(128, ((L0 + 127) // 128) * 128)
+                    L_bucket = max(128, ((L0 + 127) // 128) * 128)
                     kv_arena = gen.init_kv_cache(
                         self.config.decoder, decode_batch,
-                        L0 + max_new_tokens, dtype=self.config.dtype,
+                        L_bucket + max_new_tokens, dtype=self.config.dtype,
                     )
                 if next_submit < len(batches):
                     futures.append(pool.submit(prepare_batch, batches[next_submit]))
                     next_submit += 1
                 prefix, mask = self._encode_prepared([p for p, _ in prepared])
-                prefixes.extend(prefix[b] for b in range(prefix.shape[0]))
-                masks.extend(np.asarray(mask))
+                mask_rows = np.asarray(mask)
+                idxs = batches[bi]
+                L_enc = prefix.shape[1]
+                if split_mode and L_enc > L_bucket:
+                    # a longer prompt overflowed the bucket: its chunks fall
+                    # back to per-video rows (rows already in those chunks'
+                    # stores are extracted back out)
+                    for b, i in enumerate(idxs):
+                        c = i // decode_batch
+                        if c not in legacy_chunks:
+                            legacy_chunks.add(c)
+                            st = stores.pop(c, None)
+                            if st is not None:
+                                base = c * decode_batch
+                                for rr in range(st.shape[0]):
+                                    j = base + rr
+                                    if j < i:
+                                        prefixes[j] = st[rr]
+                                del st
+                if split_mode:
+                    for b, i in enumerate(idxs):
+                        c, r = i // decode_batch, i % decode_batch
+                        if L_enc > L_bucket or c in legacy_chunks:
+                            prefixes[i] = prefix[b]
+                            masks[i] = mask_rows[b]
+                            continue
+                        if c not in stores:
+                            Bc = min(decode_batch, num_items - c * decode_batch)
+                            stores[c] = jnp.zeros(
+                                (Bc, L_bucket, D), self.config.dtype
+                            )
+                        stores[c] = _store_prefix_rows(
+                            stores[c], prefix[b : b + 1], jnp.int32(r)
+                        )
+                        masks[i] = np.pad(mask_rows[b], (L_bucket - L_enc, 0))
+                else:
+                    for b, i in enumerate(idxs):
+                        prefixes[i] = prefix[b]
+                        masks[i] = mask_rows[b]
+                del prefix
                 for _, ts in prepared:
                     frame_ids.append(np.stack([
                         TIME_CODEC.encode_value(
@@ -616,8 +676,11 @@ class TracePipeline:
                     ]).astype(np.int32))
 
         # encode phase ends when the last prefix is materialized
-        if prefixes:
-            np.asarray(jnp.sum(prefixes[-1].astype(jnp.float32)))
+        fence = next(iter(stores.values()), None)
+        if fence is None and prefixes:
+            fence = next(iter(prefixes.values()))
+        if fence is not None:
+            np.asarray(jnp.sum(fence.ravel()[:8].astype(jnp.float32)))
         t_encode = _time.perf_counter() - t_encode0
 
         if offload_vision:
@@ -626,29 +689,32 @@ class TracePipeline:
         t_decode0 = _time.perf_counter()
         detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
         results: list[EventPredictions] = []
-        # left-pad straight to generate's 128 bucket: padding here means the
-        # generate wrappers see P == bucket and skip their own jnp.pad — at
-        # batch 32 that pad would hold a second ~0.5 GiB prefix buffer live
-        L = max(p.shape[0] for p in prefixes)
-        L = max(128, ((L + 127) // 128) * 128)
         for start in range(0, num_items, decode_batch):
             chunk = list(range(start, min(start + decode_batch, num_items)))
+            c = start // decode_batch
             B = len(chunk)
-            rows = []
-            mask = np.zeros((B, L), bool)
-            for b, i in enumerate(chunk):
-                pl = prefixes[i].shape[0]
-                row = prefixes[i]
-                if pl < L:  # left-pad on device
-                    row = jnp.pad(row, ((L - pl, 0), (0, 0)))
-                rows.append(row)
-                mask[b, L - pl :] = masks[i]
-            prefix = jnp.stack(rows)
-            # the stacked copy owns the data now; free the per-video
-            # device buffers before the decode program allocates
-            for i in chunk:
-                prefixes[i] = None
-            del rows
+            if c in stores:
+                prefix = stores.pop(c)
+                mask = np.stack([masks[i] for i in chunk])
+            else:
+                # bucket to 128 so the generate wrappers skip their own pad
+                L = max(prefixes[i].shape[0] for i in chunk)
+                L = max(128, ((L + 127) // 128) * 128)
+                rows = []
+                mask = np.zeros((B, L), bool)
+                for b, i in enumerate(chunk):
+                    pl = prefixes[i].shape[0]
+                    row = prefixes[i]
+                    if pl < L:  # left-pad on device
+                        row = jnp.pad(row, ((L - pl, 0), (0, 0)))
+                    rows.append(row)
+                    mask[b, L - pl :] = masks[i]
+                prefix = jnp.stack(rows)
+                # the stacked copy owns the data now; free the per-video
+                # device buffers before the decode program allocates
+                for i in chunk:
+                    prefixes.pop(i, None)
+                del rows
             fids = jnp.asarray(np.stack([frame_ids[i] for i in chunk])) \
                 if constrain_time else None
             gen_kwargs = dict(
