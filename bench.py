@@ -88,6 +88,9 @@ def main():
                          "what lets decode batch 16 fit next to 7 GB int8 "
                          "weights (0.73 vs 0.59 videos/s) via the Pallas "
                          "decode-attention kernel's in-register dequant")
+    ap.add_argument("--prefill-batch", type=int, default=0,
+                    help="override the serving-split prefill sub-batch "
+                         "(0 = auto: 2 at decode>=32, else 4)")
     ap.add_argument("--precompile-decode", action="store_true",
                     help="compile the --batch decode executable into the "
                          "persistent cache and exit. The tunneled compiler "
@@ -182,7 +185,9 @@ def main():
             out = gen.generate_split(
                 pipe._decoder_params, config.decoder,
                 jnp.asarray(prefix_b), jnp.asarray(mask_b), pipe._combined,
-                prefill_batch=8, **kw,
+                prefill_batch=args.prefill_batch
+                or (2 if args.batch >= 32 else 4),
+                **kw,
             )
         else:
             out = gen.generate(
@@ -217,8 +222,9 @@ def main():
             # decodes the merged cache at the full batch. At batch 32 the
             # big cache (4.6 GiB) squeezes the prefill phase further ->
             # prefill 2.
-            prefill_batch=(2 if decode_batch >= 32 else 4)
-            if decode_batch > 8 else None,
+            prefill_batch=(
+                args.prefill_batch or (2 if decode_batch >= 32 else 4)
+            ) if decode_batch > 8 else None,
         )
 
     B = args.batch

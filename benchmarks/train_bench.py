@@ -31,9 +31,17 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--stage", default="pretrain", choices=["pretrain", "sft", "lora"])
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu). The environment "
+                         "registers the axon TPU unconditionally, so "
+                         "JAX_PLATFORMS alone is not honored — this flag "
+                         "re-overrides after import like tests/conftest.py")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     try:

@@ -170,6 +170,68 @@ def build_input_embeds(
     return jnp.where(has_video[:, None, None], spliced, embeds)
 
 
+def three_stream_loss(
+    dec_params: dict,
+    c,
+    hidden: jax.Array,          # [B, L, D] decoder output (final-normed)
+    labels: jax.Array,          # [B, L] text-stream labels (or IGNORE)
+    time_labels: jax.Array,
+    score_labels: jax.Array,
+    *,
+    chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Summed 3-stream CE (reference trace_mistral.py:218-237), computed in
+    sequence chunks under jax.checkpoint: the [B, L, 32027] fp32 logits
+    (and their log_softmax + cotangents, ~0.8 GB at L=2048) never
+    materialize — each chunk's logits are recomputed in the backward.
+    Chunking is exact: softmax is per-position; sums/counts accumulate in
+    fp32 and normalize once at the end."""
+    from trace_tpu.constants import IGNORE_INDEX
+
+    B, L, D = hidden.shape
+    v = c.vocab_size
+    # shift once: hidden[t] predicts labels[t+1]
+    h = hidden[:, :-1]
+    labs = jnp.stack(
+        [labels[:, 1:], time_labels[:, 1:], score_labels[:, 1:]]
+    )  # [3, B, L-1]
+    n = -(-(L - 1) // chunk)
+    pad = n * chunk - (L - 1)
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        labs = jnp.pad(labs, ((0, 0), (0, 0), (0, pad)),
+                       constant_values=IGNORE_INDEX)
+    h = h.reshape(B, n, chunk, D).swapaxes(0, 1)          # [n, B, C, D]
+    labs = labs.reshape(3, B, n, chunk).transpose(2, 0, 1, 3)  # [n, 3, B, C]
+
+    slices = (
+        (0, v + 1),                                  # text + sync
+        (v + 1, c.time_vocab_size),                  # time
+        (v + 1 + c.time_vocab_size, c.score_vocab_size),  # score
+    )
+
+    def body(carry, x):
+        h_c, lab_c = x
+        logits = compute_logits(dec_params, h_c)     # [B, C, CV] fp32
+        sums, counts = carry
+        new_s, new_c = [], []
+        for s, (off, width) in enumerate(slices):
+            lg = jax.lax.dynamic_slice_in_dim(logits, off, width, axis=-1)
+            lab = lab_c[s]
+            valid = lab != IGNORE_INDEX
+            lab_safe = jnp.where(valid, lab, 0)
+            logp = jax.nn.log_softmax(lg, axis=-1)
+            nll = -jnp.take_along_axis(logp, lab_safe[..., None], axis=-1)[..., 0]
+            new_s.append(sums[s] + jnp.sum(jnp.where(valid, nll, 0.0)))
+            new_c.append(counts[s] + jnp.sum(valid))
+        return (jnp.stack(new_s), jnp.stack(new_c)), None
+
+    init = (jnp.zeros((3,), jnp.float32), jnp.zeros((3,), jnp.int32))
+    (sums, counts), _ = jax.lax.scan(jax.checkpoint(body), init, (h, labs))
+    losses = sums / jnp.maximum(counts, 1)
+    return losses[0], losses[1], losses[2]
+
+
 def forward_train(
     params: dict,
     config: TraceConfig,
@@ -223,27 +285,10 @@ def forward_train(
             params["decoder"], config.decoder, embeds, batch["attn_mask"], positions,
             remat=remat, use_flash=use_flash,
         )
-    logits = compute_logits(params["decoder"], hidden)  # [B, L, CV] fp32
-
-    c = config.decoder
-    v = c.vocab_size
-    text_logits = logits[..., : v + 1]
-    time_logits = logits[..., v + 1 : v + 1 + c.time_vocab_size]
-    score_logits = logits[..., v + 1 + c.time_vocab_size :]
-
-    def ce(lg, lab):
-        lg = lg[:, :-1]
-        lab = lab[:, 1:]
-        valid = lab != IGNORE_INDEX
-        lab_safe = jnp.where(valid, lab, 0)
-        logp = jax.nn.log_softmax(lg, axis=-1)
-        nll = -jnp.take_along_axis(logp, lab_safe[..., None], axis=-1)[..., 0]
-        n = jnp.maximum(jnp.sum(valid), 1)
-        return jnp.sum(jnp.where(valid, nll, 0.0)) / n
-
-    text_loss = ce(text_logits, batch["labels"])
-    time_loss = ce(time_logits, batch["time_labels"])
-    score_loss = ce(score_logits, batch["score_labels"])
+    text_loss, time_loss, score_loss = three_stream_loss(
+        params["decoder"], config.decoder, hidden,
+        batch["labels"], batch["time_labels"], batch["score_labels"],
+    )
     loss = text_loss + time_loss + score_loss
     return loss, {
         "loss": loss,
