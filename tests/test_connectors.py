@@ -51,3 +51,24 @@ def test_identity():
     init, fwd = build_connector("identity")
     x = jnp.ones((1, 2, 3, 4))
     assert (fwd(init(jax.random.PRNGKey(0), 4, 4), x) == x).all()
+
+
+def test_fused_qkv_matches_unfused():
+    """Serving-time fused [D,3D] QKV must be numerically identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trace_tpu.model.config import VisionConfig
+    from trace_tpu.model.vit import fuse_vision_qkv, init_vit_params, vit_forward
+
+    cfg = VisionConfig.tiny()
+    params = init_vit_params(cfg, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.image_size, cfg.image_size, 3))
+    want = vit_forward(params, cfg, imgs)
+    fused = fuse_vision_qkv(params)
+    assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+    got = vit_forward(fused, cfg, imgs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+    # idempotent + leaves quantized trees alone
+    assert fuse_vision_qkv(fused) is fused or "wqkv" in fuse_vision_qkv(fused)["layers"]

@@ -121,6 +121,26 @@ def fold_normalization_into_patch_embed(
     return w_scaled.astype(patch_embed.dtype), b.astype(patch_embed.dtype)
 
 
+def fuse_vision_qkv(params: dict) -> dict:
+    """Serving-time layout transform: concat the stacked q/k/v projections
+    into one [L, D, 3D] weight so each layer runs ONE MXU matmul for QKV
+    instead of three M x 1024 x 1024 dots.  Inference-only (training and
+    checkpoint I/O keep the canonical per-head layout); the w8a8/int8 path
+    keeps separate weights (its per-tensor scales don't concat)."""
+    layers = dict(params["layers"])
+    if "wqkv" in layers or not hasattr(layers.get("wq"), "dtype"):
+        return params
+    layers["wqkv"] = jnp.concatenate(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")], axis=-1
+    )
+    layers["bqkv"] = jnp.concatenate(
+        [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
+    )
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
 def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = False) -> jax.Array:
     from trace_tpu.model.quantize import dequantize as dq
     from trace_tpu.model.quantize import is_quantized
@@ -139,6 +159,10 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = F
         q = (quant_apply_w8a8(hq, hs, lp["wq"], (D,), out_dtype=jnp.float32) + lp["bq"]).astype(x.dtype)
         k = (quant_apply_w8a8(hq, hs, lp["wk"], (D,), out_dtype=jnp.float32) + lp["bk"]).astype(x.dtype)
         v = (quant_apply_w8a8(hq, hs, lp["wv"], (D,), out_dtype=jnp.float32) + lp["bv"]).astype(x.dtype)
+    elif "wqkv" in lp:
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
+        qkv = (jnp.einsum("btd,de->bte", h, lp["wqkv"].astype(x.dtype), preferred_element_type=jnp.float32) + lp["bqkv"]).astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], c.layer_eps)
         q = (jnp.einsum("btd,de->bte", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)

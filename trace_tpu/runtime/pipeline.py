@@ -192,9 +192,19 @@ class TracePipeline:
         self._encode_params = {
             k: v for k, v in self.params.items() if k != "decoder"
         }
+        if "vision" in self._encode_params:
+            from trace_tpu.model.vit import fuse_vision_qkv
+
+            self._encode_params["vision"] = fuse_vision_qkv(
+                self._encode_params["vision"]
+            )
         # drop the pipeline's own strong ref to the duplicated embed table
+        # (and to the unfused q/k/v copies — the fused tree is the serving
+        # layout)
         slim = dict(self.params)
         slim["decoder"] = decoder
+        if "vision" in self._encode_params:
+            slim["vision"] = self._encode_params["vision"]
         self.params = slim
 
     def _prepare_prefix(
