@@ -150,7 +150,7 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = F
     B, T, D = x.shape
     HD = D // NH
 
-    w8a8 = c.act_quant and is_quantized(lp["wq"])
+    w8a8 = c.act_quant and is_quantized(lp.get("wq"))
     if w8a8:
         from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
 
