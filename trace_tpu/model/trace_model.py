@@ -101,6 +101,7 @@ def encode_video(
     frame_time_ids: jax.Array,  # [B, T, 6] local time-token ids per frame
     *,
     use_flash: bool = False,
+    remat_connector: bool = False,
 ) -> jax.Array:
     """Frames -> interleaved visual+time token features [B, T*(S+6), D_lm].
 
@@ -123,6 +124,12 @@ def encode_video(
     feats = feats.reshape(B, T, feats.shape[1], feats.shape[2])
 
     _, conn_fwd = connector_lib.build_connector(config.mm_projector_type)
+    if remat_connector:
+        # the trained connector's residuals are several [B*T, 576, 1024]
+        # buffers (144 MB each at 128 frames); recomputing them from the
+        # (frozen, saved-anyway) ViT features in the backward is what keeps
+        # the 7B frozen-backbone train step inside one 16 GB chip
+        conn_fwd = jax.checkpoint(conn_fwd)
     slots = conn_fwd(params["connector"], feats)
 
     if slots.ndim == 3:
@@ -254,7 +261,7 @@ def forward_train(
 
     video_feats = encode_video(
         params, config, batch["frames"], batch["frame_time_ids"],
-        use_flash=use_flash,
+        use_flash=use_flash, remat_connector=remat,
     )
     embeds = build_input_embeds(
         params, config, batch["token_ids"], video_feats, batch["video_pos"],
