@@ -44,49 +44,54 @@ def decode_attention_impl() -> str:
     return os.environ.get("TRACE_TPU_DECODE_ATTN", "pallas")
 
 
-def _kernel_bf16(li_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale):
-    q = q_ref[0, 0]                                   # [G, hd]
-    k = k_ref[0, 0, 0]                                # [S, hd]
-    v = v_ref[0, 0, 0]                                # [S, hd]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                         # [G, S]
-    s = s + bias_ref[0]                               # [1, S] broadcast
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+def _kernel_bf16(li_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, hpb):
+    # hpb kv heads per program: one big DMA per block streams better than
+    # hpb small ones (grid-iteration overhead amortizes over 2x the bytes)
+    for h in range(hpb):
+        q = q_ref[0, h]                               # [G, hd]
+        k = k_ref[0, 0, h]                            # [S, hd]
+        v = v_ref[0, 0, h]                            # [S, hd]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                     # [G, S]
+        s = s + bias_ref[0]                           # [1, S] broadcast
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(l, 1e-30)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def _kernel_int8(
-    li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref, *, scale
+    li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref, *,
+    scale, hpb
 ):
     # scales arrive as [1, S] rows (slot in the lane dim — a [S, 1] layout
     # pads 128x on TPU); per-slot scaling factors out of the dots:
     #   q . (kq * ks)^T == (q . kq^T) * ks_row
     #   p . (vq * vs)   == (p * vs_row) . vq
-    q = q_ref[0, 0]                                                # [G, hd]
-    kq = kq_ref[0, 0, 0].astype(jnp.bfloat16)                      # [S, hd]
-    vq = vq_ref[0, 0, 0].astype(jnp.bfloat16)
-    ks = ks_ref[0, 0, 0].astype(jnp.float32)                       # [1, S]
-    vs = vs_ref[0, 0, 0].astype(jnp.bfloat16)
-    s = jax.lax.dot_general(
-        q.astype(jnp.bfloat16), kq, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * ks * scale
-    s = s + bias_ref[0]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        (p.astype(jnp.bfloat16) * vs), vq, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    for h in range(hpb):
+        q = q_ref[0, h]                                            # [G, hd]
+        kq = kq_ref[0, 0, h].astype(jnp.bfloat16)                  # [S, hd]
+        vq = vq_ref[0, 0, h].astype(jnp.bfloat16)
+        ks = ks_ref[0, 0, h].astype(jnp.float32)                   # [1, S]
+        vs = vs_ref[0, 0, h].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q.astype(jnp.bfloat16), kq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks * scale
+        s = s + bias_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p.astype(jnp.bfloat16) * vs), vq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / jnp.maximum(l, 1e-30)
+        o_ref[0, h] = o.astype(o_ref.dtype)
 
 
 def decode_attention_supported(q: jax.Array, cache) -> bool:
@@ -125,6 +130,14 @@ def decode_attention(
     # illegal once B > 1)
     bias3 = bias_row.astype(jnp.float32)[:, None, :]
 
+    # kv heads per program: bigger blocks = fewer, larger DMAs (better HBM
+    # streaming) at ~S*hd*2*hpb bytes of VMEM per buffer; bounded to keep
+    # K+V (+double buffering) under ~8 MB of the ~16 MB VMEM
+    hpb = int(os.environ.get("TRACE_TPU_DECODE_ATTN_HPB", "4"))
+    per_head = S * hd * (1 if quant else 2)
+    while hpb > 1 and (NKV % hpb or 4 * hpb * per_head > 8 * 1024 * 1024):
+        hpb //= 2
+
     def q_map(b, n, li_ref):
         return (b, n, 0, 0)
 
@@ -134,25 +147,25 @@ def decode_attention(
     def bias_map(b, n, li_ref):
         return (b, 0, 0)
 
-    q_spec = pl.BlockSpec((1, 1, G, hd), q_map)
-    kv_spec = pl.BlockSpec((1, 1, 1, S, hd), kv_map)
-    scale_spec = pl.BlockSpec((1, 1, 1, 1, S), kv_map)  # scales [L,B,N,1,S]
+    q_spec = pl.BlockSpec((1, hpb, G, hd), q_map)
+    kv_spec = pl.BlockSpec((1, 1, hpb, S, hd), kv_map)
+    scale_spec = pl.BlockSpec((1, 1, hpb, 1, S), kv_map)  # scales [L,B,N,1,S]
     bias_spec = pl.BlockSpec((1, 1, S), bias_map)
 
     if quant:
-        kernel = functools.partial(_kernel_int8, scale=scale)
+        kernel = functools.partial(_kernel_int8, scale=scale, hpb=hpb)
         in_specs = [q_spec, kv_spec, scale_spec, kv_spec, scale_spec, bias_spec]
         operands = (qg, cache["kq"], cache["ks"], cache["vq"], cache["vs"], bias3)
     else:
-        kernel = functools.partial(_kernel_bf16, scale=scale)
+        kernel = functools.partial(_kernel_bf16, scale=scale, hpb=hpb)
         in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
         operands = (qg, cache[0], cache[1], bias3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, NKV),
+        grid=(B, NKV // hpb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, hd), q_map),
+        out_specs=pl.BlockSpec((1, hpb, G, hd), q_map),
     )
     out = pl.pallas_call(
         kernel,
