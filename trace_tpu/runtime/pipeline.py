@@ -551,6 +551,8 @@ class TracePipeline:
         constrain_time: bool = False,
         offload_vision: Optional[bool] = None,
         prefill_batch: Optional[int] = None,
+        producer_threads: int = 4,
+        prefetch_batches: int = 6,
     ) -> list[EventPredictions]:
         """Encode every video first (vision tower resident), then batch-decode.
 
@@ -612,9 +614,15 @@ class TracePipeline:
         split_mode = bool(prefill_batch and prefill_batch < decode_batch)
         D = self.config.decoder.hidden_size
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futures = [pool.submit(prepare_batch, b) for b in batches[:4]]
-            next_submit = 4
+        # producer threads run host decode + cv2 downscale/I420 (~0.3 s of
+        # host CPU per video; cv2 and device_put release the GIL) and the
+        # async uploads; queued videos are small uint8 bands so a deeper
+        # prefetch window is cheap insurance against link jitter
+        with ThreadPoolExecutor(max_workers=producer_threads) as pool:
+            futures = [
+                pool.submit(prepare_batch, b) for b in batches[:prefetch_batches]
+            ]
+            next_submit = prefetch_batches
             for bi in range(len(batches)):
                 prepared = futures[bi].result()
                 if kv_arena is None and split_mode:
