@@ -564,7 +564,14 @@ class TracePipeline:
         prefill_batch < decode_batch runs the serving-style split: prefill
         sub-batches fill a shared decode-batch cache (prefill's activation
         working set ~B*P*D caps its batch well below what the ~B*D decode
-        loop sustains), then one decode executable runs the full batch."""
+        loop sustains), then one decode executable runs the full batch.
+        prefill_batch=None (default) picks the split automatically for
+        decode_batch > 8 — a monolithic batch-32 prefill cannot fit one
+        chip; pass 0 to force the monolithic program."""
+        if prefill_batch is None and decode_batch > 8:
+            prefill_batch = 2 if decode_batch >= 32 else 4
+        elif prefill_batch == 0:
+            prefill_batch = None
         if offload_vision is None:
             from trace_tpu.model.quantize import is_quantized
 
