@@ -63,6 +63,50 @@ def zero_params(config, quant: str = "bf16", vit_quant: str = None):
     return jax.tree.map(mk, shapes)
 
 
+def watchdog_main() -> int:
+    """Parent-process watchdog: run the real bench as a child and restart
+    it once if it stalls.  The tunneled backend develops multi-minute RPC
+    hangs (host CPU frozen mid-call, no exception ever raised) — a hung
+    child would otherwise leave the driver with no recorded number.
+    Stall = no new output for --stall-sec (default 900 s; compiles print
+    nothing but the persistent cache keeps them under that)."""
+    import subprocess
+
+    stall_sec = int(os.environ.get("TRACE_TPU_BENCH_STALL_SEC", "900"))
+    env = dict(os.environ, TRACE_TPU_BENCH_CHILD="1", PYTHONUNBUFFERED="1")
+    for attempt in range(2):
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+        )
+        os.set_blocking(child.stdout.fileno(), False)
+        last_output = time.monotonic()
+        buf = b""
+        while True:
+            rc = child.poll()
+            chunk = child.stdout.read()
+            if chunk:
+                buf += chunk
+                sys.stdout.write(chunk.decode(errors="replace"))
+                sys.stdout.flush()
+                last_output = time.monotonic()
+            if rc is not None:
+                if rc == 0:
+                    return 0
+                break  # child failed; its own fallback already ran
+            if time.monotonic() - last_output > stall_sec:
+                print(
+                    f"bench watchdog: no output for {stall_sec}s — killing "
+                    + ("and retrying" if attempt == 0 else "(giving up)"),
+                    file=sys.stderr, flush=True,
+                )
+                child.kill()
+                child.wait()
+                break
+            time.sleep(2)
+    return 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
@@ -320,4 +364,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("TRACE_TPU_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(watchdog_main())
