@@ -90,7 +90,12 @@ def run_vtg_eval(
         def load_item(i):
             it = goods[i]
             try:
-                frames, ts = load_video_frames(it["path"], num_frames)
+                # decode pre-scaled in the native swscale pass: >=2x the
+                # ViT input size keeps the pad-square+resize quality while
+                # HD sources never materialize at native res on the host
+                frames, ts = load_video_frames(
+                    it["path"], num_frames, max_side=672
+                )
             except Exception as e:
                 decode_failed[i] = str(e)
                 frames = np.zeros((num_frames, 64, 64, 3), np.uint8)
@@ -121,7 +126,12 @@ def run_vtg_eval(
         frames_list, ts_list, goods = [], [], []
         for it in chunk:
             try:
-                frames, ts = load_video_frames(it["path"], num_frames)
+                # decode pre-scaled in the native swscale pass: >=2x the
+                # ViT input size keeps the pad-square+resize quality while
+                # HD sources never materialize at native res on the host
+                frames, ts = load_video_frames(
+                    it["path"], num_frames, max_side=672
+                )
                 frames_list.append(frames)
                 ts_list.append(ts)
                 goods.append(it)

@@ -88,10 +88,20 @@ def probe(path: str) -> Tuple[int, float, int, int]:
     return int(nf.value), float(fps.value), int(w.value), int(h.value)
 
 
-def read_frames(path: str, indices: Sequence[int]) -> np.ndarray:
-    """Decode the given frame indices -> uint8 [n, H, W, 3] RGB."""
+def read_frames(
+    path: str, indices: Sequence[int], max_side: int | None = None
+) -> np.ndarray:
+    """Decode the given frame indices -> uint8 [n, H, W, 3] RGB.
+
+    ``max_side`` decodes pre-scaled (aspect-preserving, longest side capped,
+    even dims) in the SAME libswscale pass that does YUV->RGB — an HD
+    source never materializes at native resolution on the host, and the
+    cv2 pad-square/resize stage downstream runs on ~7x fewer pixels."""
     lib = _load()
     _, _, w, h = probe(path)
+    if max_side and max(w, h) > max_side:
+        s = max_side / max(w, h)
+        w, h = max(2, int(w * s)) & ~1, max(2, int(h * s)) & ~1
     idx = np.ascontiguousarray(np.asarray(indices, np.int64))
     n = len(idx)
     out = np.empty((n, h, w, 3), np.uint8)

@@ -101,14 +101,18 @@ def probe_media(path: str) -> None:
         raise IOError(f"no frames reported by container: {path}")
 
 
-def read_frames_at(path: str, indices: np.ndarray, use_native: bool = True) -> Frames:
+def read_frames_at(
+    path: str, indices: np.ndarray, use_native: bool = True,
+    max_side: int | None = None,
+) -> Frames:
     """Random-access decode of specific frame indices (native fast path,
-    OpenCV fallback)."""
+    OpenCV fallback).  max_side caps the decoded resolution in the native
+    decoder's swscale pass (one resample; HD never hits host RAM)."""
     if use_native:
         try:
             from trace_tpu.native import videodec
 
-            return videodec.read_frames(path, indices)
+            return videodec.read_frames(path, indices, max_side=max_side)
         except (ImportError, OSError):
             pass
     return _read_cv2(path, indices)
@@ -121,6 +125,7 @@ def load_video_frames(
     *,
     rng: Optional[np.random.Generator] = None,
     use_native: bool = True,
+    max_side: int | None = None,
 ) -> Tuple[Frames, Timestamps]:
     """Decode + sample frames from a video file / gif / image dir / npy.
 
@@ -156,7 +161,7 @@ def load_video_frames(
         try:
             from trace_tpu.native import videodec
 
-            frames = videodec.read_frames(path, indices)
+            frames = videodec.read_frames(path, indices, max_side=max_side)
             return frames, frame_timestamps(indices, fps)
         except (ImportError, OSError):
             pass
