@@ -141,7 +141,8 @@ def _load_bounded_video(
 
     duration, fps = vio.probe(path)
     indices, ts = segment_midpoint_indices(num_frames, fps, duration - 1, bound)
-    return vio.read_frames_at(path, indices), ts
+    # 2x the ViT input: HD sources decode pre-scaled in the native pass
+    return vio.read_frames_at(path, indices, max_side=672), ts
 
 
 def run_mvbench(
