@@ -238,11 +238,20 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=512)
     ap.add_argument("--debug", action="store_true", help="first 10 samples")
     ap.add_argument("--sample-num", type=int, default=0)
+    ap.add_argument("--quant", choices=["bf16", "int8"], default="bf16",
+                    help="int8 = weight-only serving quantization "
+                         "(decode batch 32 on one chip; quality caveat in "
+                         "BENCH_NOTES.md)")
+    ap.add_argument("--constrain-time", action="store_true",
+                    help="trace-retrieval: constrain time-head decoding to "
+                         "the input frame timestamps")
     args = ap.parse_args()
 
     from trace_tpu.runtime.pipeline import model_init
 
-    pipeline = model_init(args.model_path, vision_path=args.vision_path)
+    pipeline = model_init(
+        args.model_path, vision_path=args.vision_path, quant=args.quant
+    )
     anno = load_annotations(args.anno_path, args.split,
                             limit=10 if args.debug else None)
     if args.sample_num > 0:
@@ -254,6 +263,7 @@ def main():
         pipeline, args.task, anno, args.video_path,
         num_frames=args.num_frames, batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
+        constrain_time=args.constrain_time,
     )
 
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)

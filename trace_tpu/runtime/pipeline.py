@@ -786,14 +786,33 @@ def model_init(
     *,
     vision_path: Optional[str] = None,
     dtype=jnp.bfloat16,
+    quant: str = "bf16",
 ) -> TracePipeline:
     """Load a released TRACE checkpoint dir into a pipeline
-    (load_pretrained_model parity, reference model/builder.py:29-156)."""
+    (load_pretrained_model parity, reference model/builder.py:29-156).
+
+    quant='int8' applies host-side weight-only int8 to the decoder (the
+    bitsandbytes-option analog, reference builder.py:39-48) — the serving
+    configuration that fits decode batch 32 on one 16 GB chip. Quality
+    caveat pending released-checkpoint validation: BENCH_NOTES.md."""
+    import dataclasses
+
     from trace_tpu.checkpoint.convert import convert_trace_checkpoint
     from trace_tpu.tokenizers.text import load_hf_tokenizer
 
     params, config = convert_trace_checkpoint(
         model_path, dtype=dtype, vision_path=vision_path
     )
+    if quant == "int8":
+        from trace_tpu.model.quantize import quantize_decoder_params_host
+
+        params = dict(params)
+        params["decoder"] = quantize_decoder_params_host(params["decoder"])
+        config = dataclasses.replace(
+            config,
+            decoder=dataclasses.replace(
+                config.decoder, kv_cache_dtype="int8", act_quant=True
+            ),
+        )
     tokenizer = load_hf_tokenizer(model_path)
     return TracePipeline(params=params, config=config, tokenizer=tokenizer)
