@@ -700,10 +700,11 @@ class TracePipeline:
                         for t in ts
                     ]).astype(np.int32))
 
-        # encode phase ends when the last prefix is materialized
-        fence = next(iter(stores.values()), None)
+        # encode phase ends when the last prefix is materialized (programs
+        # run in submission order; fence the LAST-written buffer)
+        fence = stores[max(stores)] if stores else None
         if fence is None and prefixes:
-            fence = next(iter(prefixes.values()))
+            fence = prefixes[max(prefixes)]
         if fence is not None:
             np.asarray(jnp.sum(fence.ravel()[:8].astype(jnp.float32)))
         t_encode = _time.perf_counter() - t_encode0
