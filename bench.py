@@ -272,6 +272,11 @@ def main():
         )
 
     B = args.batch
+    if args.quant == "bf16" and not args.small and B > 8:
+        # 14 GB bf16 weights leave no room for a batch-32 KV arena; skip
+        # the futile OOM-fallback ladder
+        print("bf16 weights: capping decode batch at 8", flush=True)
+        B = 8
     t0 = time.perf_counter()
     attempts = 0
     while B >= 1:

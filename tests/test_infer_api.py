@@ -36,3 +36,40 @@ def test_x_infer_templates(pipe, tmp_path):
     assert isinstance(out, str)
     with pytest.raises(ValueError):
         trace_tpu.x_infer(pipe, str(video), "q", mode="bogus")
+
+
+def test_serve_batch_cli(pipe, tmp_path, monkeypatch):
+    """The batch-serving CLI runs the corpus path end-to-end and writes
+    JSONL (errors recorded per video, not swallowed)."""
+    import importlib.util
+    import json
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "serve_batch", "scripts/inference/serve_batch.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    T = pipe.config.num_frames
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        np.save(tmp_path / f"v{i}.npy",
+                rng.integers(0, 255, (T, 56, 56, 3), dtype=np.uint8))
+    (tmp_path / "bad.npy").write_bytes(b"not a numpy file")
+
+    import trace_tpu.runtime.pipeline as pl
+    monkeypatch.setattr(pl, "model_init", lambda *a, **k: pipe)
+
+    out = tmp_path / "r.jsonl"
+    monkeypatch.setattr(_sys, "argv", [
+        "serve_batch", "--model-path", "ignored",
+        "--videos", str(tmp_path), "--out", str(out),
+        "--batch", "2", "--frames", str(T), "--max-new-tokens", "8",
+    ])
+    mod.main()
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 4
+    errs = [l for l in lines if "error" in l]
+    oks = [l for l in lines if "captions" in l]
+    assert len(errs) == 1 and len(oks) == 3
