@@ -73,8 +73,9 @@ def watchdog_main() -> int:
     import subprocess
 
     stall_sec = int(os.environ.get("TRACE_TPU_BENCH_STALL_SEC", "900"))
+    attempts = int(os.environ.get("TRACE_TPU_BENCH_ATTEMPTS", "3"))
     env = dict(os.environ, TRACE_TPU_BENCH_CHILD="1", PYTHONUNBUFFERED="1")
-    for attempt in range(2):
+    for attempt in range(attempts):
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
             env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
@@ -97,7 +98,8 @@ def watchdog_main() -> int:
             if time.monotonic() - last_output > stall_sec:
                 print(
                     f"bench watchdog: no output for {stall_sec}s — killing "
-                    + ("and retrying" if attempt == 0 else "(giving up)"),
+                    + ("and retrying" if attempt < attempts - 1
+                       else "(giving up)"),
                     file=sys.stderr, flush=True,
                 )
                 child.kill()
