@@ -73,8 +73,21 @@ def watchdog_main() -> int:
     import subprocess
 
     stall_sec = int(os.environ.get("TRACE_TPU_BENCH_STALL_SEC", "900"))
+    # CPU-freeze detection is OPT-IN: a server-side compile can also block
+    # the client silently, and killing a legitimate first compile would
+    # burn every attempt. Enable (e.g. 300) only when .jax_cache is warm.
+    freeze_sec = int(os.environ.get("TRACE_TPU_BENCH_FREEZE_SEC", "0"))
     attempts = int(os.environ.get("TRACE_TPU_BENCH_ATTEMPTS", "3"))
     env = dict(os.environ, TRACE_TPU_BENCH_CHILD="1", PYTHONUNBUFFERED="1")
+
+    def cpu_ticks(pid: int):
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            return int(parts[11]) + int(parts[12])  # utime + stime
+        except Exception:
+            return None
+
     for attempt in range(attempts):
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
@@ -82,12 +95,11 @@ def watchdog_main() -> int:
         )
         os.set_blocking(child.stdout.fileno(), False)
         last_output = time.monotonic()
-        buf = b""
+        last_ticks, last_ticks_t = cpu_ticks(child.pid), time.monotonic()
         while True:
             rc = child.poll()
             chunk = child.stdout.read()
             if chunk:
-                buf += chunk
                 sys.stdout.write(chunk.decode(errors="replace"))
                 sys.stdout.flush()
                 last_output = time.monotonic()
@@ -95,9 +107,25 @@ def watchdog_main() -> int:
                 if rc == 0:
                     return 0
                 break  # child failed; its own fallback already ran
-            if time.monotonic() - last_output > stall_sec:
+            t = cpu_ticks(child.pid)
+            if t is not None and t != last_ticks:
+                last_ticks, last_ticks_t = t, time.monotonic()
+            # the tunnel's hang mode freezes the child mid-RPC: CPU time
+            # stops ticking entirely. A server-side compile also produces
+            # no OUTPUT but the client still ticks — so the CPU-freeze
+            # signal fires ~3x sooner than the output timeout without
+            # killing legitimate compiles.
+            frozen = freeze_sec > 0 and (
+                time.monotonic() - last_ticks_t > freeze_sec
+                and time.monotonic() - last_output > freeze_sec
+            )
+            if frozen or time.monotonic() - last_output > stall_sec:
+                why = (
+                    f"cpu frozen {freeze_sec}s" if frozen
+                    else f"no output {stall_sec}s"
+                )
                 print(
-                    f"bench watchdog: no output for {stall_sec}s — killing "
+                    f"bench watchdog: {why} — killing "
                     + ("and retrying" if attempt < attempts - 1
                        else "(giving up)"),
                     file=sys.stderr, flush=True,
