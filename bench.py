@@ -333,7 +333,9 @@ def main():
                 # a RESOURCE_EXHAUSTED poisons this process's allocator
                 # (later, smaller programs keep failing) — fall back in a
                 # FRESH process so the smaller batch gets a clean chip.
-                # Recursion is bounded by the halving (16 -> 8 -> ... -> 1).
+                # Gentle descent (32 usually fits; an OOM there is often
+                # transient residue): 32 -> 24 -> 16 -> 8 -> ... -> 1.
+                next_b = 24 if B == 32 else (16 if B == 24 else B // 2)
                 if B > 1:
                     import subprocess
 
@@ -344,10 +346,10 @@ def main():
                             next(it, None)
                             continue
                         argv.append(a)
-                    argv += ["--batch", str(B // 2)]
-                    print(f"re-exec fresh process at batch {B // 2}", flush=True)
+                    argv += ["--batch", str(next_b)]
+                    print(f"re-exec fresh process at batch {next_b}", flush=True)
                     raise SystemExit(subprocess.run(argv).returncode)
-                B = B // 2
+                B = next_b
     if B < 1:
         raise RuntimeError("no decode batch size fits")
     compile_t = time.perf_counter() - t0
