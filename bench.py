@@ -302,11 +302,13 @@ def main():
         )
 
     B = args.batch
-    if args.quant == "bf16" and not args.small and B > 8:
-        # 14 GB bf16 weights leave no room for a batch-32 KV arena; skip
-        # the futile OOM-fallback ladder
-        print("bf16 weights: capping decode batch at 8", flush=True)
-        B = 8
+    if args.quant == "bf16" and not args.small and B > 2:
+        # 7B bf16 weights are ~the whole chip (round-1: batch>=2 decode hit
+        # ResourceExhausted even with the tower offloaded); skip the slow
+        # OOM-fallback ladder. bf16 is the quality-comparison config, not
+        # the serving config.
+        print("bf16 weights: capping decode batch at 2", flush=True)
+        B = 2
     t0 = time.perf_counter()
     attempts = 0
     while B >= 1:
