@@ -393,7 +393,9 @@ def main():
             "sec_per_video": round(per_video, 3),
             "vit_frames_per_sec": round(vit_fps, 1),
             "decode_tok_per_sec": round(decode_tps, 1),
-            "prefix_tokens": args.frames * 14 + 1,  # visual+time span (+sync)
+            # measured spliced prefix (video span + prompt tokens); the
+            # visual+time span alone is frames*14 (+<sync>)
+            "prefix_tokens": stats.get("prefix_tokens", args.frames * 14 + 1),
             "compile_sec": round(compile_t, 1),
             "config": "tiny" if args.small else f"trace-7b-{args.quant}",
             "baseline_estimate": "V100 eval loop ~0.33 videos/s (see BENCH_NOTES.md)",

@@ -778,6 +778,8 @@ class TracePipeline:
             "encode_s": round(t_encode, 3),
             "decode_s": round(_time.perf_counter() - t_decode0, 3),
             "videos": num_items,
+            # the real (max) spliced prefix length: video span + prompt
+            "prefix_tokens": max(len(m) for m in masks.values()) if masks else 0,
         }
         return results
 
