@@ -81,3 +81,27 @@ def test_band_upload_matches_full_frame():
             jnp.asarray(i420_fill_rgb01(fill)), S,
         ))
         np.testing.assert_allclose(got, full, atol=1e-5)
+
+
+def test_content_band_geometry():
+    """Band bounds: I420-aligned (even offsets, sizes % 4), inside [0, S],
+    covering the content + bicubic bleed; full frame when square."""
+    from trace_tpu.video.preprocess import content_band
+
+    S = 336
+    assert content_band(100, 100, S) == (0, S, 0, S)     # square: full
+    for H, W in [(360, 480), (720, 1280), (1080, 1920), (480, 360),
+                 (2, 10_000), (10_000, 2)]:
+        top, h, left, w = content_band(H, W, S)
+        assert top % 2 == 0 and left % 2 == 0
+        assert h % 4 == 0 and w % 4 == 0
+        assert 0 <= top and top + h <= S
+        assert 0 <= left and left + w <= S
+        side = max(H, W)
+        if W > H:   # landscape: full width, banded rows
+            assert (left, w) == (0, S)
+            lo = (side - H) // 2 / (side / S)
+            hi = lo + H / (side / S)
+            assert top <= lo and top + h >= min(S, hi)
+        elif H > W:
+            assert (top, h) == (0, S)
