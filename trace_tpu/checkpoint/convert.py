@@ -213,7 +213,7 @@ def convert_mixtral_decoder(
                 get(f"{prefix}layers.{i}.block_sparse_moe.experts.{j}.{hf_name}.weight")
                 for j in range(E)
             ]
-            per_layer.append(np.stack([w.T if transpose else w.T for w in per_expert]))
+            per_layer.append(np.stack([w.T if transpose else w for w in per_expert]))
         return jnp.asarray(np.stack(per_layer), dtype)
 
     layers["router"] = jnp.asarray(
@@ -340,9 +340,16 @@ def trace_config_from_hf(hf_cfg: dict, **overrides) -> TraceConfig:
         from trace_tpu.model.moe import MoEConfig
 
         dec_cls = MoEConfig
+        # Converted checkpoints default to the exact dense mixture: the
+        # capacity-bucketed sparse path drops token-expert contributions
+        # whenever routing load exceeds capacity_factor x the mean (likely at
+        # small N), silently deviating from the HF reference the weights were
+        # trained under.  Sparse dispatch stays an explicit training-time
+        # opt-in via overrides.
         moe_kw = dict(
             num_experts=hf_cfg.get("num_local_experts", 8),
             top_k=hf_cfg.get("num_experts_per_tok", 2),
+            moe_impl="dense",
         )
     dec = dec_cls(
         **moe_kw,

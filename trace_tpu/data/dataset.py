@@ -192,6 +192,15 @@ def build_conversation_segments(
             if events and ev_cursor < len(events) and caps:
                 take = events[ev_cursor : ev_cursor + len(caps)]
                 ev_cursor += len(take)
+                if len(take) < len(caps):
+                    # annotation/schema mismatch: more caption lines than
+                    # events would silently drop the surplus from the
+                    # serialized stream.  Schema errors raise (policy: only
+                    # media errors substitute a fallback sample).
+                    raise ValueError(
+                        f"gpt turn {ti} has {len(caps)} caption lines but "
+                        f"only {len(take)} events remain in the record"
+                    )
                 for ev, cap in zip(take, caps):
                     ev.setdefault("caption", cap)
                 key = f"\x00EV{ti}\x00"

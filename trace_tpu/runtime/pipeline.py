@@ -778,8 +778,13 @@ class TracePipeline:
             "encode_s": round(t_encode, 3),
             "decode_s": round(_time.perf_counter() - t_decode0, 3),
             "videos": num_items,
-            # the real (max) spliced prefix length: video span + prompt
-            "prefix_tokens": max(len(m) for m in masks.values()) if masks else 0,
+            # the real (max) spliced prefix length: video span + prompt.
+            # Count True mask positions — len(mask) in split mode is the
+            # 128-bucketed padded row, overstating by up to 127 tokens.
+            "prefix_tokens": (
+                max(int(np.asarray(m).sum()) for m in masks.values())
+                if masks else 0
+            ),
         }
         return results
 
