@@ -313,6 +313,23 @@ def convert_spatial_slot(sd: StateDict, *, prefix: str = "model.mm_projector.", 
     }
 
 
+def convert_spatial_time_slot(
+    sd: StateDict, *, prefix: str = "model.mm_projector.", dtype=jnp.float32
+) -> dict:
+    """SpatialTimeSlotPool weights (builder.py:469-487): split spatial/time
+    slot banks sharing one ln_vision LayerNorm + bias-free readout Linear."""
+    def get(name: str) -> Array:
+        return np.asarray(sd[prefix + name], np.float32)
+
+    return {
+        "spatial_slots": jnp.asarray(get("spatial_slots"), dtype),
+        "time_slots": jnp.asarray(get("time_slots"), dtype),
+        "ln_scale": jnp.asarray(get("ln_vision.weight"), dtype),
+        "ln_bias": jnp.asarray(get("ln_vision.bias"), dtype),
+        "readout": jnp.asarray(get("readout.weight").T, dtype),
+    }
+
+
 def convert_towers(sd: StateDict, *, prefix: str = "model.", dtype=jnp.float32) -> dict:
     def get(name: str) -> Array:
         return np.asarray(sd[prefix + name], np.float32)
@@ -447,6 +464,14 @@ def _convert_generic_projector(sd: StateDict, config: TraceConfig, *, dtype=jnp.
         "spatial_conv", "spatial_pool",
     ):
         return convert_stc_connector(sd, t, dtype=dtype)
+    if t == "slot":
+        # SlotPool (builder.py:361-373) has the exact state-dict layout of
+        # SpatialSlotPool: slots / ln_vision / bias-free readout.
+        return convert_spatial_slot(sd, dtype=dtype)
+    if t == "spatial_time_slot":
+        return convert_spatial_time_slot(sd, dtype=dtype)
+    if t == "identity":
+        return {}
     raise NotImplementedError(f"projector conversion for {t} not implemented")
 
 
