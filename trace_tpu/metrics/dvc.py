@@ -159,8 +159,13 @@ def sodac(
         idx = np.where(np.asarray(splits) == split)[0]
         split_gt = [gt_captions[i] for i in idx]
         gts_per_row = [{k: [g] for k in res} for g in split_gt]
+        # NOTE reference arg order (eval_dvc.py:337): compute_score(res, gt)
+        # — predictions are the scorer's REFS side (they set the CIDEr IDF
+        # corpus), the GT caption is the hypothesis.  Asymmetric scorers make
+        # the order numerically significant; cross-validated in
+        # tests/test_metrics_vs_reference.py.
         score_matrix = np.array(
-            [np.nan_to_num(scorer.compute_score(gt, res)[1]) for gt in gts_per_row]
+            [np.nan_to_num(scorer.compute_score(res, gt)[1]) for gt in gts_per_row]
         )
         iou_matrix = iou_matrices[split]
         fs = []

@@ -186,11 +186,17 @@ def eval_submission(
     if submission and "pred_relevant_windows" in submission[0]:
         mr = eval_moment_retrieval(submission, ground_truth)
         metrics.update(mr)
-        brief.update({
+        # same brief key set (and sorted order) as eval_vhd.py:302-313
+        brief.update(sorted({
             "MR-full-mAP": mr["full"]["MR-mAP"]["average"],
+            "MR-full-mAP@0.5": mr["full"]["MR-mAP"].get("0.5", 0.0),
+            "MR-full-mAP@0.75": mr["full"]["MR-mAP"].get("0.75", 0.0),
+            "MR-short-mAP": mr["short"]["MR-mAP"]["average"],
+            "MR-middle-mAP": mr["middle"]["MR-mAP"]["average"],
+            "MR-long-mAP": mr["long"]["MR-mAP"]["average"],
             "MR-full-R1@0.5": mr["full"]["MR-R1"].get("0.5", 0.0),
             "MR-full-R1@0.7": mr["full"]["MR-R1"].get("0.7", 0.0),
-        })
+        }.items()))
     if submission and "pred_saliency_scores" in submission[0]:
         hl = eval_highlight(submission, ground_truth)
         metrics.update(hl)

@@ -52,6 +52,13 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="pipeline-parallel decoder stages over a 'stage' "
                          "mesh axis (0 = off; GPipe, parallel/pipeline.py)")
     ap.add_argument("--pp-microbatches", type=int, default=2)
+    # multi-host launch (the torchrun --nnodes analog, pretrain-128.sh:24-28;
+    # env fallbacks COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID or
+    # MASTER_ADDR+MASTER_PORT/WORLD_SIZE/RANK are honored when flags absent)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0's coordination service")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     return ap
 
 
@@ -59,6 +66,10 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
 
     import jax
+
+    from trace_tpu.runtime.distributed import initialize, is_primary
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
 
     from trace_tpu.data.dataset import EventDataset
     from trace_tpu.model.config import TraceConfig
@@ -149,10 +160,12 @@ def main(argv=None):
         from trace_tpu.parallel.pipeline import build_pp_mesh
 
         pp_mesh = build_pp_mesh(args.pp_stages)
-        print(f"pipeline mesh: {dict(pp_mesh.shape)}")
+        if is_primary():
+            print(f"pipeline mesh: {dict(pp_mesh.shape)}")
     elif len(jax.devices()) > 1:
         mesh = build_mesh(args.mesh_devices or None)
-        print(f"mesh: {dict(mesh.shape)}")
+        if is_primary():
+            print(f"mesh: {dict(mesh.shape)} over {jax.process_count()} processes")
 
     os.makedirs(args.output_dir, exist_ok=True)
     params, _, metrics = train_loop(
@@ -162,7 +175,8 @@ def main(argv=None):
         save_every=args.save_steps,
         pp_mesh=pp_mesh, pp_microbatches=args.pp_microbatches,
     )
-    print("final metrics:", {k: float(v) for k, v in metrics.items()})
+    if is_primary():
+        print("final metrics:", {k: float(v) for k, v in metrics.items()})
 
 
 if __name__ == "__main__":

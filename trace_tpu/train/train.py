@@ -242,10 +242,22 @@ def train_loop(
     pp_microbatches: int = 1,
 ):
     """Minimal epoch loop with modality-grouped order, orbax checkpointing,
-    and auto-resume (reference: trainer auto-resume train_mt.py:1177-1180)."""
+    and auto-resume (reference: trainer auto-resume train_mt.py:1177-1180).
+
+    Multi-process (multi-host): call runtime.distributed.initialize() first;
+    batch_size stays the GLOBAL batch — each process loads its
+    1/process_count share (process_order_shard keeps modality-grouped
+    batches intact) and batches assemble into global sharded arrays
+    (host_local_to_global).  Checkpoint saves are collective (orbax);
+    logging is process-0 gated."""
     import numpy as np
 
     from trace_tpu.data.sampler import modality_grouped_indices
+    from trace_tpu.runtime.distributed import (
+        host_local_to_global,
+        is_primary,
+        process_order_shard,
+    )
 
     # shard params BEFORE tx.init so the jitted init propagates the mesh
     # placement into opt_state — initializing on unsharded params would pin
@@ -288,6 +300,15 @@ def train_loop(
         lengths, batch_size, seed=recipe.total_steps
     ) if lengths else list(range(len(dataset)))
 
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        if mesh is None:
+            raise ValueError("multi-process training requires a mesh")
+        local_bs = batch_size // n_proc
+        order = process_order_shard(order, batch_size)
+    else:
+        local_bs = batch_size
+
     mlog = None
     if metrics_path:
         from trace_tpu.utils.profiling import MetricsLogger
@@ -297,16 +318,18 @@ def train_loop(
     from trace_tpu.data.loader import PrefetchLoader
 
     loader = PrefetchLoader(
-        dataset, batch_size, order=order[start_step * batch_size :],
+        dataset, local_bs, order=order[start_step * local_bs :],
         num_workers=4, prefetch_batches=2,
     )
 
     step = start_step
     metrics = {}
     for batch in loader:
+        if n_proc > 1:
+            batch = host_local_to_global(batch, mesh)
         params, opt_state, metrics = step_fn(params, opt_state, batch)
         step += 1
-        if log_every and step % log_every == 0:
+        if log_every and step % log_every == 0 and is_primary():
             m = {k: float(v) for k, v in metrics.items()}
             print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
             if mlog:
