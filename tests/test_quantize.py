@@ -178,3 +178,74 @@ class TestW8A8:
         denom = float(jnp.abs(a).mean())
         rel = float(jnp.abs(a - b).mean()) / denom
         assert rel < 0.05, rel
+
+
+class TestInt4:
+    """4-bit weight-only path (the bitsandbytes-4bit analog, reference
+    model/builder.py:39-48): packed int4 storage, XLA dequant, no W8A8."""
+
+    def test_roundtrip_dtype_and_error(self):
+        from trace_tpu.model.quantize import _quantize_axis
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 128)) * 0.05
+        q4 = _quantize_axis(w, (1,), bits=4)
+        assert q4["q"].dtype == jnp.int4
+        back = np.asarray(dequantize(q4, jnp.float32))
+        err = np.abs(back - np.asarray(w)).max() / np.abs(np.asarray(w)).max()
+        assert err < 0.08  # 4-bit: ~1/14 of the per-channel max
+
+    def test_quant_apply_matches_dequant_einsum(self):
+        from trace_tpu.kernels.quant_matmul import quant_apply
+        from trace_tpu.model.quantize import _quantize_axis
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (64, 96)) * 0.05
+        leaf = _quantize_axis(w, (0,), bits=4)
+        x = jax.random.normal(jax.random.PRNGKey(2), (8, 64), jnp.float32)
+        got = np.asarray(quant_apply(x, leaf, (96,), out_dtype=jnp.float32))
+        # fp32 dequant reference (dequantize() itself rounds through bf16)
+        wf = leaf["q"].astype(jnp.float32) * leaf["s"].astype(jnp.float32)
+        want = np.asarray(x @ wf)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_int4_decoder_runs_and_tracks_bf16(self):
+        params = init_decoder_params(CFG, jax.random.PRNGKey(3))
+        q4 = quantize_decoder_params(params, bits=4)
+        assert q4["layers"]["wq"]["q"].dtype == jnp.int4
+        assert q4["lm_head"]["q"].dtype == jnp.int8  # head stays 8-bit
+
+        B, T = 2, 12
+        x = jax.random.normal(jax.random.PRNGKey(4), (B, T, CFG.hidden_size)) * 0.1
+        mask = jnp.ones((B, T), bool)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+        h_ref, _ = decoder_forward(params, CFG, x, mask, pos)
+        l_ref = np.asarray(compute_logits(params, h_ref))
+        h_q, _ = decoder_forward(q4, CFG, x, mask, pos)
+        l_q = np.asarray(compute_logits(q4, h_q))
+        assert np.isfinite(l_q).all()
+        # looser than int8 but still tracking the bf16 logits
+        agree = (l_ref.argmax(-1) == l_q.argmax(-1)).mean()
+        assert agree > 0.6, agree
+
+    def test_memory_halves_vs_int8(self):
+        # jnp.int4 reports 1 byte/elt off-TPU; measure information content
+        params = init_decoder_params(CFG, jax.random.PRNGKey(5))
+        q8 = quantize_decoder_params(params, bits=8)
+        q4 = quantize_decoder_params(params, bits=4)
+
+        def qbits(t):
+            return sum(
+                x.size * (4 if x.dtype == jnp.int4 else 8 * x.dtype.itemsize)
+                for x in jax.tree.leaves(t)
+            )
+
+        assert qbits(q4["layers"]) < 0.55 * qbits(q8["layers"])
+
+    def test_model_init_int4_config(self, tmp_path):
+        # host-side quantizer + pipeline config: weight-only (no act quant)
+        from trace_tpu.model.quantize import quantize_decoder_params_host
+
+        params = jax.tree.map(np.asarray, init_decoder_params(CFG, jax.random.PRNGKey(6)))
+        q = quantize_decoder_params_host(params, bits=4)
+        import ml_dtypes
+
+        assert q["layers"]["wq"]["q"].dtype == ml_dtypes.int4

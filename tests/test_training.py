@@ -291,3 +291,67 @@ def _dataset_sample(tok, seed):
         "attn_mask": seq.attn_mask,
         "video_pos": np.int32(seq.video_pos),
     }
+
+
+class TestGlobalBatchSemantics:
+    """The stage-1 recipe's global-batch-128 semantics at dryrun scale
+    (pretrain-128.sh:11-13): grad-accum x modality-grouped sampling x GSPMD.
+    Two accumulated micro-steps of 2 must produce the same parameter update
+    as one step over the concatenated batch of 4 (identical per-sample token
+    counts make the token-mean losses combine exactly)."""
+
+    def test_grad_accum_matches_large_batch_on_mesh(self):
+        import dataclasses
+
+        from trace_tpu.runtime.mesh import build_mesh, shard_batch, shard_params
+
+        tok = ByteTokenizer()
+        # modality-grouped order over 4 video samples (all mm-modality):
+        # the sampler decides which samples co-batch; accumulation then
+        # consumes its batches two micro-batches at a time.
+        lengths = [120, 80, 100, 90]
+        order = modality_grouped_indices(lengths, batch_size=2, seed=3)
+        assert sorted(order) == [0, 1, 2, 3]
+        batch4 = _sample_batch(tok, batch_size=4, seed=11)
+        # reorder the global batch per the sampler's decision
+        batch4 = {k: np.asarray(v)[np.asarray(order)] for k, v in batch4.items()}
+
+        mesh = build_mesh()
+        params0 = init_trace_params(CFG, jax.random.PRNGKey(1))
+
+        def run(recipe, micro_batches):
+            params = shard_params(
+                jax.tree.map(jnp.copy, params0), mesh
+            )
+            tx = build_optimizer(params, recipe)
+            opt_state = jax.jit(tx.init)(params)
+            step = jax.jit(
+                make_train_step(CFG, tx, freeze_stage=recipe.stage,
+                                use_flash=False),
+                donate_argnums=(0, 1),
+            )
+            for mb in micro_batches:
+                mb = shard_batch({k: jnp.asarray(v) for k, v in mb.items()}, mesh)
+                params, opt_state, metrics = step(params, opt_state, mb)
+            return params
+
+        base = TrainRecipe(stage="sft", learning_rate=1e-3, total_steps=2)
+        accum = dataclasses.replace(base, grad_accum_steps=2)
+
+        halves = [
+            {k: np.asarray(v)[:2] for k, v in batch4.items()},
+            {k: np.asarray(v)[2:] for k, v in batch4.items()},
+        ]
+        p_accum = run(accum, halves)
+        p_full = run(base, [batch4])
+
+        flat_a = jax.tree_util.tree_leaves_with_path(p_accum)
+        flat_f = dict(
+            (jax.tree_util.keystr(k), v)
+            for k, v in jax.tree_util.tree_leaves_with_path(p_full)
+        )
+        for key, leaf in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_f[jax.tree_util.keystr(key)]),
+                rtol=2e-5, atol=2e-6, err_msg=jax.tree_util.keystr(key),
+            )

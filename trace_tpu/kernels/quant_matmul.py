@@ -190,7 +190,10 @@ def quant_apply(
     if isinstance(leaf, dict):
         q = leaf["q"].reshape(K, -1)
         s = leaf["s"].reshape(-1)
-        if _impl() == "pallas":
+        # int4 weights always take the XLA path: Mosaic VMEM refs are
+        # int8-minimum, and XLA reads packed-int4 HBM natively (the whole
+        # point of 4-bit on the bandwidth-bound decode step)
+        if _impl() == "pallas" and q.dtype != jnp.int4:
             y = quant_matmul(
                 x2, q, s, out_dtype=out_dtype or x.dtype, interpret=interpret
             )

@@ -194,7 +194,11 @@ def _layer(
     # W8A8 fires only for multi-token (prefill/train-style) chunks: decode's
     # T=1 step is weight-bandwidth-bound, where activation quant only adds
     # overhead (probe: benchmarks/w8a8_probe.py)
-    w8a8 = config.act_quant and T > 1 and is_quantized(lp["wq"])
+    # (int4 weights are weight-only: the s8xs8 MXU dot needs int8 operands)
+    w8a8 = (
+        config.act_quant and T > 1 and is_quantized(lp["wq"])
+        and lp["wq"]["q"].dtype == jnp.int8
+    )
     if w8a8:
         from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
 

@@ -23,12 +23,19 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...]):
-    """Symmetric int8 over the given axes; scale keeps the other axes."""
+def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...], bits: int = 8):
+    """Symmetric intN over the given axes; scale keeps the other axes.
+
+    bits=4 stores jnp.int4 (range +-7; XLA packs 2 values/byte in TPU HBM —
+    the bitsandbytes-4bit analog, reference model/builder.py:39-48): half
+    the weight bytes of int8 for the HBM-bandwidth-bound decode phase, at
+    per-channel 4-bit quality."""
+    qmax = 127 if bits == 8 else 7
+    qdtype = jnp.int8 if bits == 8 else jnp.int4
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(qdtype)
     return {"q": q, "s": scale.astype(jnp.bfloat16)}
 
 
@@ -42,8 +49,8 @@ def dequantize(leaf, dtype=jnp.bfloat16) -> jax.Array:
     return leaf
 
 
-def quantize_decoder_params(params: dict) -> dict:
-    """int8-quantize the decoder's large matmul weights.
+def quantize_decoder_params(params: dict, bits: int = 8) -> dict:
+    """int8/int4-quantize the decoder's large matmul weights.
 
     Layer stacks quantize per (layer, output-channel); attention projections
     reduce over the input dim; heads and the embedding stay bf16 (gathers and
@@ -53,15 +60,16 @@ def quantize_decoder_params(params: dict) -> dict:
     layers = dict(params["layers"])
 
     # reduce over the *input* dims; keep (L, out...) in the scale
-    layers["wq"] = _quantize_axis(layers["wq"], (1,))      # [L, D, NH, hd]
-    layers["wk"] = _quantize_axis(layers["wk"], (1,))
-    layers["wv"] = _quantize_axis(layers["wv"], (1,))
-    layers["wo"] = _quantize_axis(layers["wo"], (1, 2))    # [L, NH, hd, D]
-    layers["w_gate"] = _quantize_axis(layers["w_gate"], (1,))  # [L, D, I]
-    layers["w_up"] = _quantize_axis(layers["w_up"], (1,))
-    layers["w_down"] = _quantize_axis(layers["w_down"], (1,))  # [L, I, D]
+    layers["wq"] = _quantize_axis(layers["wq"], (1,), bits)      # [L, D, NH, hd]
+    layers["wk"] = _quantize_axis(layers["wk"], (1,), bits)
+    layers["wv"] = _quantize_axis(layers["wv"], (1,), bits)
+    layers["wo"] = _quantize_axis(layers["wo"], (1, 2), bits)    # [L, NH, hd, D]
+    layers["w_gate"] = _quantize_axis(layers["w_gate"], (1,), bits)  # [L, D, I]
+    layers["w_up"] = _quantize_axis(layers["w_up"], (1,), bits)
+    layers["w_down"] = _quantize_axis(layers["w_down"], (1,), bits)  # [L, I, D]
 
     out["layers"] = layers
+    # the lm_head feeds fp32 logits; keep it int8 even in 4-bit mode
     out["lm_head"] = _quantize_axis(params["lm_head"], (0,))  # [D, V]
     return out
 
@@ -93,28 +101,30 @@ def quantize_trace_params(params: dict, *, vision: bool = True) -> dict:
 # where subsequent programs fail; checkpoint conversion quantizes on host
 # instead, and only int8 tensors ever reach the device.
 
-def _quantize_axis_np(w, reduce_axes: tuple[int, ...]):
+def _quantize_axis_np(w, reduce_axes: tuple[int, ...], bits: int = 8):
     import ml_dtypes
     import numpy as np
 
+    qmax = 127 if bits == 8 else 7
+    qdtype = np.int8 if bits == 8 else ml_dtypes.int4
     wf = np.asarray(w, np.float32)
     amax = np.max(np.abs(wf), axis=reduce_axes, keepdims=True)
-    scale = np.maximum(amax / 127.0, 1e-8)
-    q = np.clip(np.round(wf / scale), -127, 127).astype(np.int8)
+    scale = np.maximum(amax / qmax, 1e-8)
+    q = np.clip(np.round(wf / scale), -qmax, qmax).astype(qdtype)
     return {"q": q, "s": scale.astype(ml_dtypes.bfloat16)}
 
 
-def quantize_decoder_params_host(params: dict) -> dict:
+def quantize_decoder_params_host(params: dict, bits: int = 8) -> dict:
     """numpy-in / numpy-out variant of :func:`quantize_decoder_params`."""
     out = dict(params)
     layers = dict(params["layers"])
-    layers["wq"] = _quantize_axis_np(layers["wq"], (1,))
-    layers["wk"] = _quantize_axis_np(layers["wk"], (1,))
-    layers["wv"] = _quantize_axis_np(layers["wv"], (1,))
-    layers["wo"] = _quantize_axis_np(layers["wo"], (1, 2))
-    layers["w_gate"] = _quantize_axis_np(layers["w_gate"], (1,))
-    layers["w_up"] = _quantize_axis_np(layers["w_up"], (1,))
-    layers["w_down"] = _quantize_axis_np(layers["w_down"], (1,))
+    layers["wq"] = _quantize_axis_np(layers["wq"], (1,), bits)
+    layers["wk"] = _quantize_axis_np(layers["wk"], (1,), bits)
+    layers["wv"] = _quantize_axis_np(layers["wv"], (1,), bits)
+    layers["wo"] = _quantize_axis_np(layers["wo"], (1, 2), bits)
+    layers["w_gate"] = _quantize_axis_np(layers["w_gate"], (1,), bits)
+    layers["w_up"] = _quantize_axis_np(layers["w_up"], (1,), bits)
+    layers["w_down"] = _quantize_axis_np(layers["w_down"], (1,), bits)
     out["layers"] = layers
     out["lm_head"] = _quantize_axis_np(params["lm_head"], (0,))
     return out

@@ -811,15 +811,19 @@ def model_init(
     params, config = convert_trace_checkpoint(
         model_path, dtype=dtype, vision_path=vision_path
     )
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from trace_tpu.model.quantize import quantize_decoder_params_host
 
+        bits = 8 if quant == "int8" else 4
         params = dict(params)
-        params["decoder"] = quantize_decoder_params_host(params["decoder"])
+        params["decoder"] = quantize_decoder_params_host(params["decoder"], bits)
         config = dataclasses.replace(
             config,
             decoder=dataclasses.replace(
-                config.decoder, kv_cache_dtype="int8", act_quant=True
+                config.decoder, kv_cache_dtype="int8",
+                # int4 is weight-only (no s8xs8 MXU path for 4-bit operands);
+                # its lever is halved weight bytes on the HBM-bound decode
+                act_quant=(quant == "int8"),
             ),
         )
     tokenizer = load_hf_tokenizer(model_path)
