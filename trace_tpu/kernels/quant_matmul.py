@@ -122,6 +122,117 @@ def quant_matmul(
     return out[:M, :N]
 
 
+def _qmm_stacked_kernel(li_ref, x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]                              # [M, bk]
+    w = q_ref[0].astype(x.dtype)              # [bk, bn] int8 -> tile-local
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0, 0].astype(jnp.float32)[None, :]).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bn", "bk", "interpret")
+)
+def quant_matmul_stacked(
+    x: jax.Array,    # [M, K] bf16/f32 (M small: the decode step's batch)
+    q: jax.Array,    # [L, K, N] int8 — the FULL layer-stacked weight
+    s: jax.Array,    # [L, N] per (layer, output-channel) scale
+    li: jax.Array,   # scalar int32 layer index
+    *,
+    out_dtype=None,
+    bn: int = 2048,
+    bk: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """y[M, N] = (x @ q[li]) * s[li], reading layer li's weight stripe IN
+    PLACE via a scalar-prefetch index map.
+
+    Why: the decode step runs the layer stack as a lax.scan whose xs are the
+    stacked weights — XLA materializes each layer's weight slice into a temp
+    before its dot (a dynamic-slice cannot fuse into a dot operand), so the
+    7B int8 weights cost write+read on top of the original read every decode
+    step.  Measured: 38.7 ms/step at B=32, S=576 vs a ~10 ms roofline — the
+    step is S-independent, i.e. weight-path-bound (benchmarks/
+    decode_ablate.py).  This kernel is the weight analog of
+    kernels/decode_attention.py's in-place stacked-cache read.
+
+    x stays whole in VMEM (M <= ~64 rows in decode); the grid tiles (N, K)
+    with bn x bk int8 blocks (bn >= 2048 keeps per-row DMA segments >= 2 KB).
+    """
+    M, K = x.shape
+    L, K2, N = q.shape
+    assert K == K2, (x.shape, q.shape)
+    out_dtype = out_dtype or x.dtype
+    s = jnp.reshape(s, (L, 1, N))
+
+    bn = min(bn, N)
+    bk = min(bk, K)
+    xp = _pad_dim(_pad_dim(x, 0, 8), 1, bk)
+    Mp, Kp = xp.shape
+    # N and K are weight dims (multiples of the block sizes for every real
+    # config); pad defensively for tiny test shapes
+    qp = _pad_dim(_pad_dim(q, 1, bk), 2, bn)
+    sp = _pad_dim(s, 2, bn)
+    Np = qp.shape[2]
+    nn, nk = Np // bn, Kp // bk
+
+    li_arr = jnp.reshape(li, (1,)).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nn, nk),
+        in_specs=[
+            pl.BlockSpec((Mp, bk), lambda n, k, li_ref: (0, k)),
+            pl.BlockSpec((1, bk, bn), lambda n, k, li_ref: (li_ref[0], k, n)),
+            pl.BlockSpec((1, 1, bn), lambda n, k, li_ref: (li_ref[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn), lambda n, k, li_ref: (0, n)),
+        scratch_shapes=[pltpu.VMEM((Mp, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_qmm_stacked_kernel, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        interpret=interpret,
+    )(li_arr, xp, qp, sp)
+    return out[:M, :N]
+
+
+def quant_apply_stacked(
+    x: jax.Array,      # [..., K]
+    leaf: dict,        # {'q': int8 [L, K, *out], 's': [L, ...]}
+    li: jax.Array,     # scalar int32 layer index
+    out_shape: tuple,  # trailing output dims
+    *,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Apply layer li's slice of a stacked quantized weight without
+    materializing it (decode-step path; see quant_matmul_stacked)."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    L = leaf["q"].shape[0]
+    q = leaf["q"].reshape(L, K, -1)
+    s = leaf["s"].reshape(L, -1)
+    y = quant_matmul_stacked(
+        x.reshape(-1, K), q, s, li,
+        out_dtype=out_dtype or x.dtype, interpret=interpret,
+    )
+    return y.reshape(lead + out_shape)
+
+
 def _impl() -> str:
     """'pallas' (tile-local dequant kernel) or 'xla' (dequant einsum).
 

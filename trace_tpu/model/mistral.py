@@ -195,8 +195,16 @@ def _layer(
     # T=1 step is weight-bandwidth-bound, where activation quant only adds
     # overhead (probe: benchmarks/w8a8_probe.py)
     # (int4 weights are weight-only: the s8xs8 MXU dot needs int8 operands)
+    # T==1 historically stayed weight-only on a bandwidth-bound assumption;
+    # the decode step measured MXU-tile-latency-bound instead
+    # (benchmarks/stacked_qmm_probe.py + decode_ablate B-scaling), so the
+    # s8xs8 decode dot is re-testable via TRACE_TPU_DECODE_W8A8=1.
+    import os as _os
+
     w8a8 = (
-        config.act_quant and T > 1 and is_quantized(lp["wq"])
+        config.act_quant
+        and (T > 1 or _os.environ.get("TRACE_TPU_DECODE_W8A8", "0") == "1")
+        and is_quantized(lp["wq"])
         and lp["wq"]["q"].dtype == jnp.int8
     )
     if w8a8:
@@ -360,6 +368,133 @@ def _layer(
     return x + mlp_out, new_cache
 
 
+def _decode_layer_stacked(
+    x: jax.Array,               # [B, 1, D]
+    layers: dict,               # FULL stacked layer tree (scan closure const)
+    li: jax.Array,              # scalar int32 layer index
+    *,
+    config: DecoderConfig,
+    cos: jax.Array,
+    sin: jax.Array,
+    bias: jax.Array,            # [B, 1, 1, S]
+    full_cache,
+    cache_index,
+):
+    """Single-token decode block reading STACKED int8 weights in place.
+
+    The standard decode path scans with the stacked weights as xs — XLA
+    materializes every layer's weight slice into a temp before its dots,
+    costing write+read on top of the streaming read (measured: the decode
+    step is S-independent at ~38.7 ms for B=32 vs a ~10 ms roofline,
+    benchmarks/decode_ablate.py).  Here the stacked weights are scan-loop
+    CONSTANTS and every matmul goes through quant_matmul_stacked, whose
+    scalar-prefetch index map reads layer li's stripe straight from HBM —
+    the weight analog of kernels/decode_attention.py.
+
+    Serving-shape only: T == 1, int8-quantized dense Mistral layers (no
+    LoRA / MoE / qkv-bias), Pallas-eligible decode attention.
+    """
+    from trace_tpu.kernels.decode_attention import decode_attention
+    from trace_tpu.kernels.quant_matmul import quant_apply_stacked
+
+    B, T, D = x.shape
+    NH, NKV, HD = config.num_heads, config.num_kv_heads, config.head_dim
+    interp = jax.default_backend() == "cpu"
+
+    def norm_at(name):
+        return jax.lax.dynamic_index_in_dim(layers[name], li, 0, keepdims=False)
+
+    h = rms_norm(x, norm_at("attn_norm"), config.rms_eps)
+    q = quant_apply_stacked(
+        h, layers["wq"], li, (NH, HD), interpret=interp
+    ).transpose(0, 2, 1, 3)
+    k = quant_apply_stacked(
+        h, layers["wk"], li, (NKV, HD), interpret=interp
+    ).transpose(0, 2, 1, 3)
+    v = quant_apply_stacked(
+        h, layers["wv"], li, (NKV, HD), interpret=interp
+    ).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    idx = (li, 0, 0, cache_index, 0)
+    if isinstance(full_cache, dict):
+        kq_n, ks_n = _quantize_kv(k)
+        vq_n, vs_n = _quantize_kv(v)
+        sidx = (li, 0, 0, 0, cache_index)
+        cache = {
+            "kq": jax.lax.dynamic_update_slice(full_cache["kq"], kq_n[None], idx),
+            "ks": jax.lax.dynamic_update_slice(full_cache["ks"], ks_n[None], sidx),
+            "vq": jax.lax.dynamic_update_slice(full_cache["vq"], vq_n[None], idx),
+            "vs": jax.lax.dynamic_update_slice(full_cache["vs"], vs_n[None], sidx),
+        }
+    else:
+        cache = (
+            jax.lax.dynamic_update_slice(
+                full_cache[0], k.astype(full_cache[0].dtype)[None], idx
+            ),
+            jax.lax.dynamic_update_slice(
+                full_cache[1], v.astype(full_cache[1].dtype)[None], idx
+            ),
+        )
+
+    attn = decode_attention(q, cache, li, bias[:, 0, 0, :], interpret=interp)
+    attn_flat = attn.transpose(0, 2, 1, 3).reshape(B, T, NH * HD)
+    x = x + quant_apply_stacked(attn_flat, layers["wo"], li, (D,), interpret=interp)
+
+    h = rms_norm(x, norm_at("mlp_norm"), config.rms_eps)
+    I = layers["w_gate"]["q"].shape[-1]
+    gate = quant_apply_stacked(
+        h, layers["w_gate"], li, (I,), out_dtype=jnp.float32, interpret=interp
+    )
+    up = quant_apply_stacked(
+        h, layers["w_up"], li, (I,), out_dtype=jnp.float32, interpret=interp
+    )
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    mlp_out = quant_apply_stacked(act, layers["w_down"], li, (D,), interpret=interp)
+    return x + mlp_out, cache
+
+
+def _stacked_decode_ok(params: dict, config: DecoderConfig, T: int, cache) -> bool:
+    """Static routing test for the stacked-weight decode path."""
+    import os
+
+    from trace_tpu.model.quantize import is_quantized
+
+    if T != 1 or cache is None:
+        return False
+    # default OFF: measured 40.7 vs 38.7 ms/step at B=32 — the sliced path
+    # was never copy-bound (the step is MXU-tile-latency-bound; see
+    # BENCH_NOTES round 3); kept as an opt-in for other hardware
+    if os.environ.get("TRACE_TPU_STACKED_QMM", "0") != "1":
+        return False
+    layers = params["layers"]
+    if "router" in layers or config.attn_qkv_bias:
+        return False
+    if any("_lora_" in k for k in layers):
+        return False
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        leaf = layers.get(name)
+        if not is_quantized(leaf) or leaf["q"].dtype != jnp.int8:
+            return False
+    # the pallas decode-attention kernel must be eligible too (same shapes)
+    leaf = cache["kq"] if isinstance(cache, dict) else cache[0]
+    S = leaf.shape[3]
+    if not (config.head_dim % 128 == 0 and S % 8 == 0):
+        return False
+    if not config.use_decode_kernel:
+        return False
+    from trace_tpu.kernels.decode_attention import decode_attention_impl
+
+    impl = decode_attention_impl()
+    if impl == "xla":
+        return False
+    if jax.default_backend() == "cpu" and impl != "force":
+        # CPU tests run both kernels in interpret mode
+        return True
+    return True
+
+
 # ---------------------------------------------------------------------------
 # Forward passes
 # ---------------------------------------------------------------------------
@@ -448,15 +583,32 @@ def decoder_forward(
         # worse.)
         num_layers = jax.tree.leaves(params["layers"])[0].shape[0]
 
-        def body(carry, inputs):
-            x, c = carry
-            lp, li = inputs
-            x, c = layer_fn(x, lp, full_cache=c, li=li, cache_index=cache_index)
-            return (x, c), None
+        if _stacked_decode_ok(params, config, T, cache):
+            # decode step: stacked weights stay scan CONSTANTS and are read
+            # in place by quant_matmul_stacked — no per-layer weight-slice
+            # temps (the S-independent 4x decode gap, decode_ablate.py)
+            def body(carry, li):
+                x, c = carry
+                x, c = _decode_layer_stacked(
+                    x, params["layers"], li,
+                    config=config, cos=cos, sin=sin, bias=bias,
+                    full_cache=c, cache_index=cache_index,
+                )
+                return (x, c), None
 
-        (x, new_cache), _ = jax.lax.scan(
-            body, (x, cache), (params["layers"], jnp.arange(num_layers))
-        )
+            (x, new_cache), _ = jax.lax.scan(
+                body, (x, cache), jnp.arange(num_layers)
+            )
+        else:
+            def body(carry, inputs):
+                x, c = carry
+                lp, li = inputs
+                x, c = layer_fn(x, lp, full_cache=c, li=li, cache_index=cache_index)
+                return (x, c), None
+
+            (x, new_cache), _ = jax.lax.scan(
+                body, (x, cache), (params["layers"], jnp.arange(num_layers))
+            )
 
     x = rms_norm(x, params["final_norm"], config.rms_eps)
     return x, new_cache
