@@ -403,6 +403,11 @@ def main():
     decode_time = stats.get("decode_s", 0.0) / max(n_videos, 1)
     vit_fps = args.frames / encode_time if encode_time else 0.0
     decode_tps = args.decode_tokens / decode_time if decode_time else 0.0
+    # honest per-phase rates (split mode fences between the prefill and
+    # decode executables; the lumped decode_tok_per_sec includes prefill)
+    dl = stats.get("decode_loop_s", 0.0) / max(n_videos, 1)
+    decode_loop_tps = args.decode_tokens / dl if dl else None
+    pf = stats.get("prefill_s", 0.0) / max(n_videos, 1)
 
     result = {
         "metric": "videos/sec/chip",
@@ -418,6 +423,10 @@ def main():
             "sec_per_video": round(per_video, 3),
             "vit_frames_per_sec": round(vit_fps, 1),
             "decode_tok_per_sec": round(decode_tps, 1),
+            "decode_loop_tok_per_sec": (
+                round(decode_loop_tps, 1) if decode_loop_tps else None
+            ),
+            "prefill_sec_per_video": round(pf, 3) if pf else None,
             # measured spliced prefix (video span + prompt tokens); the
             # visual+time span alone is frames*14 (+<sync>)
             "prefix_tokens": stats.get("prefix_tokens", args.frames * 14 + 1),

@@ -83,6 +83,10 @@ class GenerateOutput:
     # recycle one preallocated arena across batches (donation keeps it the
     # same physical buffer — no realloc, no HBM fragmentation). Discardable.
     cache: object = None
+    # generate_split(time_phases=True): {"prefill_s", "decode_s"} measured
+    # with a device fence between the prefill executables and the decode
+    # loop — the honest split the lumped phase timing cannot see.
+    phase_times: object = None
 
 
 # ---------------------------------------------------------------------------
@@ -617,6 +621,7 @@ def generate_split(
     frame_time_ids: Optional[jax.Array] = None,
     stop_sequences=None,
     cache=None,
+    time_phases: bool = False,
 ) -> GenerateOutput:
     """generate() with the serving-style prefill/decode split: prefill runs
     in `prefill_batch` sub-batches that each write their rows into one
@@ -672,6 +677,9 @@ def generate_split(
         del cache
     if big is None:
         big = init_kv_cache(config, B, cache_len, dtype=embed_dtype)
+    import time as _time
+
+    t0 = _time.perf_counter()
     cms, lhs, nps = [], [], []
     for r in range(0, B, prefill_batch):
         big, cm, lh, npos = prefill_into_jit(
@@ -688,6 +696,13 @@ def generate_split(
     # before the decode executable allocates its temps
     del prefix_embeds
 
+    t1 = None
+    if time_phases:
+        # fence the last prefill (block_until_ready is a no-op through the
+        # tunneled backend; a tiny D2H reduction forces completion)
+        np.asarray(jnp.sum(lhs[-1].ravel()[:8].astype(jnp.float32)))
+        t1 = _time.perf_counter()
+
     heads = jnp.full((B,), initial_head, jnp.int32)
     tokens, num, big = decode_jit(
         params, config, big,
@@ -699,6 +714,12 @@ def generate_split(
         rng=jax.random.PRNGKey(seed),
         stop_ids=pack_stop_sequences(stop_sequences),
     )
+    tokens = np.asarray(tokens)  # forces the decode loop to completion
+    phase_times = None
+    if time_phases:
+        t2 = _time.perf_counter()
+        phase_times = {"prefill_s": t1 - t0, "decode_s": t2 - t1}
     return GenerateOutput(
-        tokens=np.asarray(tokens), num_generated=np.asarray(num), cache=big
+        tokens=tokens, num_generated=np.asarray(num), cache=big,
+        phase_times=phase_times,
     )

@@ -715,6 +715,8 @@ class TracePipeline:
         t_decode0 = _time.perf_counter()
         detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
         results: list[EventPredictions] = []
+        prefill_s = 0.0
+        decode_loop_s = 0.0
         for start in range(0, num_items, decode_batch):
             chunk = list(range(start, min(start + decode_batch, num_items)))
             c = start // decode_batch
@@ -760,9 +762,13 @@ class TracePipeline:
                 out = gen.generate_split(
                     self._decoder_params, self.config.decoder,
                     prefix_ref, jnp.asarray(mask), self._combined,
-                    prefill_batch=prefill_batch, cache=kv_arena, **gen_kwargs,
+                    prefill_batch=prefill_batch, cache=kv_arena,
+                    time_phases=True, **gen_kwargs,
                 )
                 kv_arena = out.cache  # same physical buffer, recycled
+                if out.phase_times:
+                    prefill_s += out.phase_times["prefill_s"]
+                    decode_loop_s += out.phase_times["decode_s"]
             else:
                 out = gen.generate(
                     self._decoder_params, self.config.decoder,
@@ -777,6 +783,10 @@ class TracePipeline:
         self.last_corpus_stats = {
             "encode_s": round(t_encode, 3),
             "decode_s": round(_time.perf_counter() - t_decode0, 3),
+            # split-mode phase split (fenced between executables): the
+            # in-program prefill otherwise masquerades as decode time
+            "prefill_s": round(prefill_s, 3),
+            "decode_loop_s": round(decode_loop_s, 3),
             "videos": num_items,
             # the real (max) spliced prefix length: video span + prompt.
             # Count True mask positions — len(mask) in split mode is the
