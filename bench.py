@@ -91,9 +91,14 @@ def watchdog_main() -> int:
             return None
 
     for attempt in range(attempts):
+        # new session: the OOM-fallback path re-execs a GRANDCHILD
+        # (subprocess.run at a smaller batch); child.kill() alone would
+        # orphan a hung grandchild that keeps the chip wedged through every
+        # retry — kill the whole process group instead.
         child = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
             env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+            start_new_session=True,
         )
         os.set_blocking(child.stdout.fileno(), False)
         last_output = time.monotonic()
@@ -132,7 +137,12 @@ def watchdog_main() -> int:
                        else "(giving up)"),
                     file=sys.stderr, flush=True,
                 )
-                child.kill()
+                import signal
+
+                try:
+                    os.killpg(child.pid, signal.SIGKILL)
+                except Exception:
+                    child.kill()
                 child.wait()
                 break
             time.sleep(2)

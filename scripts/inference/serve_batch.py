@@ -54,9 +54,17 @@ def main():
                     help="trace-retrieval timestamp constraint")
     ap.add_argument("--max-side", type=int, default=672,
                     help="native pre-scaled decode cap (0 = native res)")
+    # fleet serving: shard the video list over independent workers (one
+    # chip each); each writes its own JSONL
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--shard", type=int, default=0)
     args = ap.parse_args()
 
     paths = collect_videos(args.videos)
+    if args.num_shards > 1:
+        paths = paths[args.shard :: args.num_shards]
+        root, ext = os.path.splitext(args.out)
+        args.out = f"{root}_shard{args.shard}of{args.num_shards}{ext}"
     if not paths:
         raise SystemExit(f"no videos matched {args.videos!r}")
 

@@ -245,6 +245,12 @@ def main():
     ap.add_argument("--constrain-time", action="store_true",
                     help="trace-retrieval: constrain time-head decoding to "
                          "the input frame timestamps")
+    # fleet eval: shard the annotation list over independent workers (one
+    # chip each; the reference's eval loop is strictly single-device,
+    # eval/evaluate.py:229). Works with any launcher; merge the per-shard
+    # fmt_*.json files (dict-union) before scoring.
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--shard", type=int, default=0)
     args = ap.parse_args()
 
     from trace_tpu.runtime.pipeline import model_init
@@ -258,6 +264,9 @@ def main():
         import random
 
         anno = random.Random(42).sample(anno, args.sample_num)
+    if args.num_shards > 1:
+        anno = anno[args.shard :: args.num_shards]
+        print(f"shard {args.shard}/{args.num_shards}: {len(anno)} samples")
 
     results = run_vtg_eval(
         pipeline, args.task, anno, args.video_path,
@@ -267,13 +276,20 @@ def main():
     )
 
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    shard_tag = f"_shard{args.shard}of{args.num_shards}" if args.num_shards > 1 else ""
     fmt_file = os.path.join(
-        args.output_dir, f"fmt_{args.task}_{args.split}_f{args.num_frames}.json"
+        args.output_dir,
+        f"fmt_{args.task}_{args.split}_f{args.num_frames}{shard_tag}.json",
     )
     with open(fmt_file, "w") as f:
         json.dump(results, f)
     print(f"wrote {fmt_file}")
 
+    if args.num_shards > 1:
+        # scoring a partial shard is misleading; merge shard files then score
+        print("shard run: merge the fmt_*_shard*.json files and call "
+              "score_results on the union")
+        return
     gt_file = os.path.join(args.anno_path, f"{args.split}.caption_coco_format.json")
     metrics = score_results(args.task, results, gt_file)
     print(json.dumps(metrics, indent=2, default=float))
