@@ -101,6 +101,10 @@ def main():
     ap.add_argument("--tokens", type=int, default=1024)
     ap.add_argument("--prefix", type=int, default=256)
     ap.add_argument("--small", action="store_true", help="tiny config smoke")
+    ap.add_argument("--logits-only", action="store_true",
+                    help="skip the free-running decode; only run the "
+                         "teacher-forced logits pass over the existing "
+                         "bf16 stream")
     args = ap.parse_args()
 
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -155,23 +159,30 @@ def main():
     prefix = jax.device_put(jnp.asarray(prefix_np, jnp.bfloat16))
     print(f"upload in {time.time() - t0:.1f}s", flush=True)
 
-    mask = jnp.ones((1, args.prefix), bool)
-    t0 = time.time()
-    out = gen.generate(
-        params, config, [prefix], mask, table,
-        max_new_tokens=args.tokens, initial_head=1, eos_id=-5,
-        temperature=0.0,
-    )
-    tokens = np.asarray(out.tokens[0])
-    print(f"decode {args.tokens} tokens in {time.time() - t0:.1f}s", flush=True)
-    np.save(os.path.join(OUT_DIR, f"tokens_{tag}_{args.phase}.npy"), tokens)
+    if not args.logits_only:
+        mask = jnp.ones((1, args.prefix), bool)
+        t0 = time.time()
+        out = gen.generate(
+            params, config, [prefix], mask, table,
+            max_new_tokens=args.tokens, initial_head=1, eos_id=-5,
+            temperature=0.0,
+        )
+        tokens = np.asarray(out.tokens[0])
+        print(f"decode {args.tokens} tokens in {time.time() - t0:.1f}s", flush=True)
+        np.save(os.path.join(OUT_DIR, f"tokens_{tag}_{args.phase}.npy"), tokens)
 
-    # teacher-forced agreement vs the bf16 stream (if it exists)
+    # teacher-forced pass over the bf16 stream: every phase (including
+    # bf16 itself) computes per-position head-masked logits so quantized
+    # phases can report logit-level error against the bf16 logits — the
+    # margin-aware metric.  Plain argmax agreement on RANDOM weights
+    # lower-bounds trained-model agreement badly: random logits have
+    # near-zero top1-top2 margins, so sub-percent quantization noise flips
+    # ranks that a trained model's confident margins would absorb.
     bf16_path = os.path.join(OUT_DIR, f"tokens_{tag}_bf16.npy")
-    if args.phase != "bf16" and os.path.exists(bf16_path):
+    if os.path.exists(bf16_path):
         ref = np.load(bf16_path)
         states = head_states_from_stream(config, ref)
-        # embed the reference stream and run ONE quantized forward over
+        # embed the reference stream and run ONE forward over
         # prefix + ref[:-1]; logits at position prefix-1+i predict ref[i]
         ref_embeds = jnp.asarray(table_np[ref[:-1]], jnp.bfloat16)[None]
         seq = jnp.concatenate([prefix, ref_embeds], axis=1)
@@ -182,7 +193,16 @@ def main():
         logits = compute_logits(params, hidden)  # [1, L, CV] fp32
         mask_table = np.asarray(gen.head_mask_table(config))
         pred_logits = np.asarray(logits[0, args.prefix - 1 :])  # predicts ref[i]
-        pred_logits = pred_logits[: len(ref)] + mask_table[states]
+        pred_logits = (pred_logits[: len(ref)] + mask_table[states]).astype(
+            np.float32
+        )
+        np.save(
+            os.path.join(OUT_DIR, f"logits_{tag}_{args.phase}.npy"),
+            # head-masked entries are ~-1e30; store as -inf (fp16 range)
+            np.where(pred_logits < -1e20, -np.inf, pred_logits).astype(np.float16),
+        )
+        if args.phase == "bf16":
+            return
         pred = pred_logits.argmax(-1)
         agree = pred == ref
         win = 128
@@ -192,6 +212,32 @@ def main():
             "per_128_window": [round(c, 4) for c in curve],
             "n_tokens": int(len(ref)),
         }
+        ref_logit_path = os.path.join(OUT_DIR, f"logits_{tag}_bf16.npy")
+        if os.path.exists(ref_logit_path):
+            lb = np.load(ref_logit_path).astype(np.float32)
+            n = min(len(lb), len(pred_logits))
+            lb, lq = lb[:n], pred_logits[:n]
+            finite = np.isfinite(lb) & np.isfinite(lq)  # head mask is -inf
+            delta = np.where(finite, lq - lb, 0.0)
+            # per-position: bf16's own top1-top2 margin vs the perturbation
+            def top2_margin(a):
+                part = np.partition(np.where(np.isfinite(a), a, -1e30), -2, axis=-1)
+                return part[..., -1] - part[..., -2]
+
+            margins = top2_margin(lb)
+            rms_err = float(np.sqrt((delta ** 2).sum() / finite.sum()))
+            result.update({
+                "logit_rms_err": rms_err,
+                "bf16_margin_median": float(np.median(margins)),
+                "bf16_margin_p90": float(np.percentile(margins, 90)),
+                # agreement among positions the bf16 model is confident on
+                "agreement_margin_above_median": float(
+                    agree[:n][margins > np.median(margins)].mean()
+                ),
+                "agreement_margin_p75": float(
+                    agree[:n][margins > np.percentile(margins, 75)].mean()
+                ),
+            })
         with open(os.path.join(OUT_DIR, f"agree_{tag}_{args.phase}.json"), "w") as f:
             json.dump(result, f)
         print(json.dumps(result), flush=True)
