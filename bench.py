@@ -398,11 +398,14 @@ def main():
         and os.environ.get("TRACE_TPU_BENCH_512", "1") == "1"
         and time.perf_counter() - t_main0 < 1500
     ):
+        # decode batch 16: the 512-token cache (L+512 slots) must allocate
+        # NEXT TO the 256-pass arena's residue — 32x3072 int8 OOMs there
+        b512 = min(B, 16)
         try:
             t0 = time.perf_counter()
-            run_corpus(B, max_new_tokens=512)
+            run_corpus(b512, max_new_tokens=512)
             vps_512 = round(n_videos / (time.perf_counter() - t0), 4)
-            print(f"512-token pass: {vps_512} videos/s", flush=True)
+            print(f"512-token pass (batch {b512}): {vps_512} videos/s", flush=True)
         except Exception as e:
             print(f"512-token pass failed: {type(e).__name__}: "
                   f"{str(e)[:160]}", flush=True)
