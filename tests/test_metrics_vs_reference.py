@@ -335,3 +335,45 @@ print("RESULT:" + json.dumps({{str(k): float(v) for k, v in fs.items()}}))
     fs = sodac(ious, Cider(), pred_caps, gt_caps, np.asarray(splits))
     for k, v in ref.items():
         assert abs(fs[int(k)] - v) < 1e-9, (k, fs[int(k)], v)
+
+
+def test_bleu_matches_nltk_corpus_bleu():
+    """Corpus BLEU-1..4 vs nltk's corpus_bleu (same published algorithm the
+    reference scores ANet-DVC with via pycocoevalcap, which is absent in
+    this environment; nltk is the available independent implementation).
+    Hypotheses share long spans with references so every n-gram order has
+    nonzero matches (our 1e-9 smoothing is then negligible)."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.translate.bleu_score import corpus_bleu
+
+    from trace_tpu.metrics.bleu_rouge import Bleu
+
+    rng = np.random.default_rng(6)
+    base = ("add the chopped onion to the hot pan and stir until golden "
+            "then season with salt and pepper to taste").split()
+    gts, res = {}, {}
+    refs_all, hyps_all = [], []
+    for i in range(10):
+        n_refs = int(rng.integers(1, 4))
+        refs = []
+        for _ in range(n_refs):
+            r = list(base)
+            # perturb: drop/duplicate a couple of words
+            for _ in range(int(rng.integers(0, 3))):
+                j = int(rng.integers(0, len(r)))
+                r.insert(j, r[int(rng.integers(0, len(r)))])
+            refs.append(r)
+        h = list(base)
+        for _ in range(int(rng.integers(0, 4))):
+            j = int(rng.integers(0, len(h) - 1))
+            del h[j]
+        gts[str(i)] = [" ".join(r) for r in refs]
+        res[str(i)] = [" ".join(h)]
+        refs_all.append(refs)
+        hyps_all.append(h)
+
+    ours, _ = Bleu(4).compute_score(gts, res)
+    for k in range(1, 5):
+        weights = tuple([1.0 / k] * k)
+        want = corpus_bleu(refs_all, hyps_all, weights=weights)
+        assert abs(ours[k - 1] - want) < 1e-6, (k, ours[k - 1], want)
