@@ -1,0 +1,157 @@
+"""ViT-L per-component cost decomposition (differential ablation).
+
+528 ms/video measured vs ~290 ms of ideal MXU time — this probe finds where
+the other ~240 ms lives by swapping individual components for near-free
+stand-ins and differencing full-program times (dispatch latency through the
+tunnel cancels in the difference):
+
+  full        the production path (chunk 16, flash attention)
+  noflash     XLA einsum attention instead of the Pallas kernel
+  blockq      flash with block_q=128 (Tq pad 640 instead of 768)
+  noattn      attention -> identity (keeps QKV/O matmuls)
+  noln        both LayerNorms -> identity
+  nogelu      quick_gelu -> identity
+  nosoftmax   scores -> scores * 1e-4 (keeps dots, drops softmax VPU work)
+
+    python benchmarks/vit_ablate.py [--frames 128] [--chunk 16]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
+
+def fence(x):
+    np.asarray(jnp.sum(jax.tree.leaves(x)[0].ravel()[:8].astype(jnp.float32)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--only", type=str, default="")
+    args = ap.parse_args()
+
+    from trace_tpu.model import vit as vit_mod
+    from trace_tpu.model.config import VisionConfig
+    from trace_tpu.model.vit import init_vit_params, vit_forward
+
+    cfg = VisionConfig()
+    S = cfg.image_size
+    shapes = jax.eval_shape(
+        lambda k: init_vit_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    T, chunk = args.frames, args.chunk
+    frames = jnp.zeros((T, S, S, 3), jnp.bfloat16)
+
+    def timed(tag, use_flash):
+        def chunked(fr):
+            def body(f):
+                return vit_forward(params, cfg, f, use_flash=use_flash)
+            return jax.lax.map(body, fr.reshape(-1, chunk, S, S, 3)).reshape(
+                T, -1, cfg.hidden_size
+            )
+
+        f = jax.jit(chunked)
+        fence(f(frames))
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fence(f(frames))
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        print(f"{tag:10s}: {dt*1e3:6.1f} ms ({T/dt:6.1f} f/s)", flush=True)
+        return dt
+
+    import trace_tpu.kernels.flash_attention as fa
+
+    orig_layer_norm = vit_mod.layer_norm
+    orig_gelu = vit_mod.quick_gelu
+    orig_flash = fa.flash_attention
+
+    variants = {}
+
+    def base():
+        return timed("full", True)
+
+    variants["full"] = base
+
+    def noflash():
+        return timed("noflash", False)
+
+    variants["noflash"] = noflash
+
+    def blockq():
+        def f128(q, k, v, mask_bias=None, *, causal=False, **kw):
+            return orig_flash(q, k, v, mask_bias, causal=causal, block_q=128)
+        fa.flash_attention = f128
+        try:
+            return timed("blockq128", True)
+        finally:
+            fa.flash_attention = orig_flash
+
+    variants["blockq"] = blockq
+
+    def noattn():
+        def ident(q, k, v, mask_bias=None, *, causal=False, **kw):
+            return v
+        fa.flash_attention = ident
+        try:
+            return timed("noattn", True)
+        finally:
+            fa.flash_attention = orig_flash
+
+    variants["noattn"] = noattn
+
+    def noln():
+        vit_mod.layer_norm = lambda x, s, b, e: x
+        try:
+            return timed("noln", True)
+        finally:
+            vit_mod.layer_norm = orig_layer_norm
+
+    variants["noln"] = noln
+
+    def nogelu():
+        vit_mod.quick_gelu = lambda x: x
+        try:
+            return timed("nogelu", True)
+        finally:
+            vit_mod.quick_gelu = orig_gelu
+
+    variants["nogelu"] = nogelu
+
+    order = args.only.split(",") if args.only else list(variants)
+    results = {}
+    for name in order:
+        try:
+            results[name] = variants[name]()
+        except Exception as e:
+            print(f"{name}: FAIL {type(e).__name__}: {str(e)[:100]}", flush=True)
+
+    if "full" in results:
+        base_t = results["full"]
+        for name, t in results.items():
+            if name != "full":
+                print(
+                    f"  {name:10s} saves {1e3*(base_t - t):6.1f} ms/video",
+                    flush=True,
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -377,3 +377,95 @@ def test_bleu_matches_nltk_corpus_bleu():
         weights = tuple([1.0 / k] * k)
         want = corpus_bleu(refs_all, hyps_all, weights=weights)
         assert abs(ours[k - 1] - want) < 1e-6, (k, ours[k - 1], want)
+
+
+class _StubWordnet:
+    """Empty wordnet => nltk's METEOR runs exact+stem only, the same module
+    set our aligner implements (no wordnet corpus in this environment)."""
+
+    def synsets(self, word):
+        return []
+
+
+def _meteor_corpus(seed=7, n=24):
+    rng = np.random.default_rng(seed)
+    vocab = ("cook stir the pan add oil onion chop season salt pepper heat "
+             "serve plate garnish slowly slicing sliced cooks stirred "
+             "adding chopped heated serving garnished quickly then and a "
+             "with until golden brown").split()
+    pairs = []
+    for _ in range(n):
+        ref = [vocab[int(rng.integers(0, len(vocab)))]
+               for _ in range(int(rng.integers(4, 16)))]
+        # hypothesis = perturbed reference: deletions, inserts, inflection
+        # swaps (cook<->cooks etc. exercise the stem stage), plus repeated
+        # words so the reverse-scan matching order is observable
+        hyp = list(ref)
+        for _ in range(int(rng.integers(0, 4))):
+            if len(hyp) > 2:
+                del hyp[int(rng.integers(0, len(hyp)))]
+        for _ in range(int(rng.integers(0, 4))):
+            hyp.insert(int(rng.integers(0, len(hyp) + 1)),
+                       vocab[int(rng.integers(0, len(vocab)))])
+        pairs.append((hyp, ref))
+    return pairs
+
+
+def test_meteor_align_matches_nltk():
+    """Our METEOR aligner + scorer (metrics/meteor_align.py) vs nltk's
+    published implementation, both restricted to the exact+stem module set
+    (stub wordnet), original-METEOR parameters — agreement to 1e-9.  This
+    pins the alignment discipline (reverse scan to the latest unused
+    reference slot), the chunk count, and the fragmentation penalty."""
+    nltk = pytest.importorskip("nltk")
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate.meteor_score import single_meteor_score
+
+    from trace_tpu.metrics.meteor_align import (
+        NLTK_PARAMS,
+        segment_stats,
+        score_from_stats,
+    )
+
+    st = PorterStemmer()
+    wn = _StubWordnet()
+    checked_nonzero = 0
+    for hyp, ref in _meteor_corpus():
+        want = single_meteor_score(ref, hyp, stemmer=st, wordnet=wn)
+        got = score_from_stats(
+            segment_stats(hyp, ref, NLTK_PARAMS, stemmer=st), NLTK_PARAMS
+        )
+        assert abs(got - want) < 1e-9, (hyp, ref, got, want)
+        checked_nonzero += want > 0
+    assert checked_nonzero >= 10  # the corpus actually exercises the metric
+
+
+def test_meteor_fallback_scorer_semantics():
+    """MeteorFallback (METEOR-1.5 'en' parameters, jar-style corpus
+    aggregation): perfect hypotheses score ~1, corpus score of a single
+    segment equals that segment's score, and word-salad scores below a
+    fluent partial match (fragmentation penalty active)."""
+    from trace_tpu.metrics.captioning import MeteorFallback
+
+    m = MeteorFallback()
+    # single segment: corpus aggregate == segment score
+    gts = {"0": ["add the chopped onion to the pan"]}
+    res = {"0": ["add the chopped onion to the pan"]}
+    final, scores = m.compute_score(gts, res)
+    assert abs(final - scores[0]) < 1e-12
+    assert scores[0] > 0.95  # one chunk, full match: penalty ~ gamma/m^beta
+
+    # fluent prefix vs same words shuffled: fragmentation must separate them
+    gts = {"0": ["add the chopped onion to the hot pan and stir"]}
+    fluent = {"0": ["add the chopped onion to the pan"]}
+    salad = {"0": ["pan add onion the to chopped the"]}
+    f_fluent, _ = m.compute_score(gts, fluent)
+    f_salad, _ = m.compute_score(gts, salad)
+    assert f_fluent > f_salad > 0
+
+    # stem stage: inflection variants still match (lower than exact, via
+    # the 0.6 stage weight, but far above no-match)
+    gts = {"0": ["the cook stirred the pan slowly"]}
+    res = {"0": ["the cooks stirring the pan slow"]}
+    final, _ = m.compute_score(gts, res)
+    assert final > 0.3
