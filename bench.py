@@ -289,9 +289,20 @@ def main():
         )
         return
 
+    # when the honest 512-token pass will run, size the decode executable +
+    # KV arena for 512 up front: both passes then share ONE compiled decode
+    # loop (a traced max_steps stops the 256 pass early) and one arena —
+    # no second compile, no arena-residue OOM, same decode batch for both
+    will_run_512 = (
+        not args.small and args.decode_tokens < 512
+        and os.environ.get("TRACE_TPU_BENCH_512", "1") == "1"
+    )
+    shared_budget = 512 if will_run_512 else None
+
     def run_corpus(decode_batch: int, max_new_tokens: int = None):
         return pipe.infer_events_corpus(
             load_item, n_videos,
+            token_budget=shared_budget if decode_batch > 8 else None,
             # the encode executable's temps run ~0.56 GiB per video in the
             # batch (benchmarks AOT: 3.45 GiB at batch 4); next to the
             # batch-32 KV arena that overflows the 15.75 GiB usable HBM ->
@@ -393,14 +404,12 @@ def main():
     # One extra timed pass at 512 unless the run is already long (driver-
     # timeout protection) or disabled via TRACE_TPU_BENCH_512=0.
     vps_512 = None
-    if (
-        not args.small and args.decode_tokens != 512
-        and os.environ.get("TRACE_TPU_BENCH_512", "1") == "1"
-        and time.perf_counter() - t_main0 < 1500
-    ):
-        # decode batch 16: the 512-token cache (L+512 slots) must allocate
-        # NEXT TO the 256-pass arena's residue — 32x3072 int8 OOMs there
-        b512 = min(B, 16)
+    if will_run_512 and time.perf_counter() - t_main0 < 1500:
+        # same decode batch as the headline pass: the shared token budget
+        # means the arena and decode executable are ALREADY the 512 shapes
+        # (before budget sharing this had to drop to batch 16 — the L+512
+        # cache could not allocate next to the 256-pass arena's residue)
+        b512 = B if B > 8 else min(B, 16)
         try:
             t0 = time.perf_counter()
             run_corpus(b512, max_new_tokens=512)

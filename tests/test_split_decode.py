@@ -151,3 +151,45 @@ def test_generate_split_arena_reuse():
         cache=bad,
     )
     np.testing.assert_array_equal(got2.tokens, want.tokens)
+
+
+def test_token_budget_shares_executable_and_matches():
+    """token_budget sizes the cache/buffers for the larger budget while a
+    traced max_steps stops at max_new_tokens: tokens must match the
+    unbudgeted run, the token buffer is budget-wide (PAD beyond the stop),
+    and the 'short' and 'budget-length' calls reuse ONE decode trace."""
+    from trace_tpu.runtime.generate import decode_jit as dj
+    from trace_tpu.runtime.generate import generate_split
+
+    params, emb, prefix, mask, B, P, new = _setup(jax.random.PRNGKey(5))
+    budget = new + 8
+
+    want = generate_split(
+        params, CFG, prefix, mask, emb,
+        prefill_batch=2, max_new_tokens=new, seed=0, use_flash=False,
+    )
+
+    short = generate_split(
+        params, CFG, prefix, mask, emb,
+        prefill_batch=2, max_new_tokens=new, seed=0, use_flash=False,
+        token_budget=budget,
+    )
+    # budget-wide buffer, PAD-filled past the stop point
+    assert short.tokens.shape == (B, budget)
+    np.testing.assert_array_equal(short.tokens[:, :new], want.tokens)
+    from trace_tpu.runtime.generate import PAD_OUTPUT_ID
+
+    assert (short.tokens[:, new:] == PAD_OUTPUT_ID).all()
+
+    # the full-budget call must hit the same compiled decode executable
+    traces_before = dj._cache_size()
+    long = generate_split(
+        params, CFG, prefix, mask, emb,
+        prefill_batch=2, max_new_tokens=budget, seed=0, use_flash=False,
+        token_budget=budget, cache=short.cache,
+    )
+    assert dj._cache_size() == traces_before, "budget run re-traced decode_jit"
+    assert long.tokens.shape == (B, budget)
+    # the first `new` steps of the longer run decode the same ids (greedy)
+    got_alive = long.tokens[:, :new]
+    np.testing.assert_array_equal(got_alive, want.tokens)

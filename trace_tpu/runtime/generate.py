@@ -296,7 +296,7 @@ def _decode_from_state(
     combined_embed, initial_head, *,
     prefix_len, max_new_tokens, temperature, eos_id,
     constrain_time, frame_time_ids, rng, embed_dtype,
-    stop_ids=None,
+    stop_ids=None, max_steps=None,
 ):
     """FSM decode loop from a prefilled cache (the serving decode phase).
 
@@ -379,8 +379,17 @@ def _decode_from_state(
         rng=rng,
     )
 
+    # max_new_tokens is the STATIC token-buffer/cache budget; max_steps (a
+    # traced scalar) optionally stops earlier, letting one compiled decode
+    # executable + KV arena serve several requested lengths (the bench's
+    # 256- and 512-token passes share everything instead of recompiling)
+    step_limit = (
+        jnp.int32(max_new_tokens) if max_steps is None
+        else jnp.minimum(jnp.int32(max_new_tokens), max_steps.astype(jnp.int32))
+    )
+
     def cond(s):
-        return (s["step"] < max_new_tokens) & (~jnp.all(s["done"]))
+        return (s["step"] < step_limit) & (~jnp.all(s["done"]))
 
     def body(s):
         step = s["step"]
@@ -459,6 +468,7 @@ def decode_jit(
     frame_time_ids: Optional[jax.Array] = None,
     rng: Optional[jax.Array] = None,
     stop_ids: Optional[jax.Array] = None,
+    max_steps: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, object]:
     """Decode phase as its own executable (serving-style prefill/decode
     split).  Lets prefill run at a smaller batch than decode: prefill's
@@ -479,6 +489,7 @@ def decode_jit(
         temperature=temperature, eos_id=eos_id,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
         rng=rng, embed_dtype=embed_dtype, stop_ids=stop_ids,
+        max_steps=max_steps,
     )
 
 
@@ -622,6 +633,7 @@ def generate_split(
     stop_sequences=None,
     cache=None,
     time_phases: bool = False,
+    token_budget: Optional[int] = None,
 ) -> GenerateOutput:
     """generate() with the serving-style prefill/decode split: prefill runs
     in `prefill_batch` sub-batches that each write their rows into one
@@ -658,7 +670,13 @@ def generate_split(
     prefix_mask = prefix_mask.astype(jnp.bool_)
     if use_flash is None:
         use_flash = default_use_flash()
-    cache_len = bucket + max_new_tokens
+    # token_budget > max_new_tokens sizes the cache/token buffer (and hence
+    # the compiled executables) for the LARGER budget while a traced
+    # max_steps scalar stops the loop at max_new_tokens — callers that run
+    # several decode lengths (the bench's 256- and 512-token passes) then
+    # share one decode executable and one KV arena instead of recompiling
+    budget = max(max_new_tokens, token_budget or 0)
+    cache_len = bucket + budget
 
     embed_dtype = prefix_embeds.dtype
     big = None
@@ -708,11 +726,14 @@ def generate_split(
         params, config, big,
         jnp.concatenate(cms), jnp.concatenate(lhs), jnp.concatenate(nps),
         combined_embed, heads,
-        prefix_len=bucket, max_new_tokens=max_new_tokens,
+        prefix_len=bucket, max_new_tokens=budget,
         temperature=temperature, eos_id=eos_id,
         constrain_time=constrain_time, frame_time_ids=frame_time_ids,
         rng=jax.random.PRNGKey(seed),
         stop_ids=pack_stop_sequences(stop_sequences),
+        # always traced when a budget is given — a None here is a static
+        # difference that would split the 256/512 passes into two traces
+        max_steps=(jnp.int32(max_new_tokens) if token_budget else None),
     )
     tokens = np.asarray(tokens)  # forces the decode loop to completion
     phase_times = None

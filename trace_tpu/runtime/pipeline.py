@@ -553,6 +553,7 @@ class TracePipeline:
         prefill_batch: Optional[int] = None,
         producer_threads: int = 4,
         prefetch_batches: int = 6,
+        token_budget: Optional[int] = None,
     ) -> list[EventPredictions]:
         """Encode every video first (vision tower resident), then batch-decode.
 
@@ -646,7 +647,8 @@ class TracePipeline:
                     L_bucket = max(128, ((L0 + 127) // 128) * 128)
                     kv_arena = gen.init_kv_cache(
                         self.config.decoder, decode_batch,
-                        L_bucket + max_new_tokens, dtype=self.config.dtype,
+                        L_bucket + max(max_new_tokens, token_budget or 0),
+                        dtype=self.config.dtype,
                     )
                 if next_submit < len(batches):
                     futures.append(pool.submit(prepare_batch, batches[next_submit]))
@@ -763,7 +765,8 @@ class TracePipeline:
                     self._decoder_params, self.config.decoder,
                     prefix_ref, jnp.asarray(mask), self._combined,
                     prefill_batch=prefill_batch, cache=kv_arena,
-                    time_phases=True, **gen_kwargs,
+                    time_phases=True, token_budget=token_budget,
+                    **gen_kwargs,
                 )
                 kv_arena = out.cache  # same physical buffer, recycled
                 if out.phase_times:
