@@ -84,16 +84,20 @@ def _preprocess_jit(frames_u8, config: TraceConfig, image_size: int, aspect_rati
     return preprocess_frames(frames_u8, image_size, aspect_ratio=aspect_ratio)
 
 
-@jax.jit
-def _preprocess_yuv_jit(yuv_u8):
-    """I420 planes (already at target size) -> normalized RGB on device."""
+@partial(jax.jit, static_argnames=("out_dtype",))
+def _preprocess_yuv_jit(yuv_u8, out_dtype=jnp.float32):
+    """I420 planes (already at target size) -> normalized RGB on device.
+
+    ``out_dtype`` folds the serving bf16 cast INTO the program: a separate
+    `.astype` writes the full fp32 frames (173 MB/video at 128f) to HBM and
+    reads them back just to halve them."""
     from trace_tpu.video.preprocess import i420_to_rgb
     from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
     rgb = i420_to_rgb(yuv_u8) / 255.0
     mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
-    return (rgb - mean) / std
+    return ((rgb - mean) / std).astype(out_dtype)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -108,22 +112,24 @@ def _store_prefix_rows(store, rows, b0):
     )
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _preprocess_yuv_band_jit(yuv_band, top, left, canvas_rgb01, size):
+@partial(jax.jit, static_argnames=("size", "out_dtype"))
+def _preprocess_yuv_band_jit(yuv_band, top, left, canvas_rgb01, size,
+                             out_dtype=jnp.float32):
     """Content-band I420 -> normalized S x S RGB: convert only the uploaded
     band, place it on a canvas of the fill color's wire round-trip value
     (bit-identical to uploading the whole squared frame — the pad bands are
     uniform, see preprocess.content_band).  Cuts tunnel bytes another
-    25-43% after yuv420 (aspect-dependent)."""
+    25-43% after yuv420 (aspect-dependent).  ``out_dtype`` folds the
+    serving bf16 cast into the program (see _preprocess_yuv_jit)."""
     from trace_tpu.video.preprocess import i420_to_rgb
     from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
     mean = jnp.asarray(CLIP_IMAGE_MEAN, jnp.float32)
     std = jnp.asarray(CLIP_IMAGE_STD, jnp.float32)
-    band = (i420_to_rgb(yuv_band) / 255.0 - mean) / std
+    band = ((i420_to_rgb(yuv_band) / 255.0 - mean) / std).astype(out_dtype)
     T = band.shape[0]
     canvas = jnp.broadcast_to(
-        (canvas_rgb01 - mean) / std, (T, size, size, 3)
+        ((canvas_rgb01 - mean) / std).astype(out_dtype), (T, size, size, 3)
     )
     return jax.lax.dynamic_update_slice(
         canvas, band, (jnp.int32(0), top, left, jnp.int32(0))
@@ -281,13 +287,13 @@ class TracePipeline:
                 if defer_preprocess:
                     frames = ("yuv_band",) + args
                 else:
-                    frames = _preprocess_yuv_band_jit(*args).astype(cfg.dtype)
+                    frames = _preprocess_yuv_band_jit(*args, out_dtype=cfg.dtype)
             else:
                 yuv = jnp.asarray(rgb_to_i420_np(np.ascontiguousarray(frames_u8)))
                 if defer_preprocess:
                     frames = ("yuv_full", yuv)
                 else:
-                    frames = _preprocess_yuv_jit(yuv).astype(cfg.dtype)
+                    frames = _preprocess_yuv_jit(yuv, out_dtype=cfg.dtype)
         else:
             frames = _preprocess_jit(
                 jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
@@ -333,9 +339,9 @@ class TracePipeline:
 
         def resolve(f):
             if isinstance(f, tuple) and f and f[0] == "yuv_band":
-                return _preprocess_yuv_band_jit(*f[1:]).astype(cfg.dtype)
+                return _preprocess_yuv_band_jit(*f[1:], out_dtype=cfg.dtype)
             if isinstance(f, tuple) and f and f[0] == "yuv_full":
-                return _preprocess_yuv_jit(f[1]).astype(cfg.dtype)
+                return _preprocess_yuv_jit(f[1], out_dtype=cfg.dtype)
             return f
 
         frames = jnp.stack([resolve(s[2]) for s in per_sample])
