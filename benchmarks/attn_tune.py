@@ -109,6 +109,208 @@ def single_block(q, k, v, *, pad_to=640, vmem_mb=None, dtype_probs=False):
     return out[:, :, :Tq, :hd]
 
 
+def kernel_single_block_bf16(q_ref, k_ref, v_ref, o_ref, *, scale, tq):
+    """bf16 MXU dots (fp32 accum), fp32 softmax, bf16 probs for PV.
+    The fp32-everything variant runs the dots at the MXU's fp32 rate
+    (~1/8 of bf16 on v5e) — likely the whole mystery."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    pad = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= tq
+    s = jnp.where(pad, -1e30, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+
+
+def kernel_single_block_bf16_exp(q_ref, k_ref, v_ref, o_ref, *, scale, tq):
+    """As bf16 variant but exp on bf16 (2 elems/lane VPU) — accuracy probe."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    pad = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= tq
+    s = jnp.where(pad, -1e30, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp((s - m).astype(jnp.bfloat16))
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / l).astype(o_ref.dtype)
+
+
+def kernel_nosoftmax(q_ref, k_ref, v_ref, o_ref, *, scale, tq):
+    """Dots only — isolates the softmax VPU share of the program."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    o = jax.lax.dot_general(s.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def kernel_multihead_unrolled(q_ref, k_ref, v_ref, o_ref, *, scale, tq, nh):
+    """NH heads per program, python-unrolled: independent per-head DAGs let
+    the Mosaic scheduler overlap head h's softmax (VPU) with head h+1's
+    dots (MXU)."""
+    for h in range(nh):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        pad = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= tq
+        s = jnp.where(pad, -1e30, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+
+
+def multihead(q, k, v, *, pad_to=592, heads_per=4):
+    Bq, Hq, Tq, hd = q.shape
+    P = pad_to
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, P - Tq), (0, 128 - hd)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, P - Tq), (0, 128 - hd)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, P - Tq), (0, 128 - hd)))
+    HP = heads_per
+    out = pl.pallas_call(
+        functools.partial(kernel_multihead_unrolled, scale=hd ** -0.5,
+                          tq=Tq, nh=HP),
+        grid=(Bq, Hq // HP),
+        in_specs=[
+            pl.BlockSpec((1, HP, P, 128), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, HP, P, 128), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bq, Hq, P, 128), q.dtype),
+    )(qp, kp, vp)
+    return out[:, :, :Tq, :hd]
+
+
+def kernel_btd(q_ref, k_ref, v_ref, o_ref, *, scale, tq, nh_blk, hd):
+    """[B, T, D]-layout attention: heads lane-sliced in-kernel.
+
+    Per program: one batch row, nh_blk heads (the D block is nh_blk*hd
+    lanes).  No input transpose, no head-dim padding; output lands back in
+    [B, T, D] ready for the output projection."""
+    for h in range(nh_blk):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        pad = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= tq
+        s = jnp.where(pad, -1e30, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(jnp.bfloat16), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def kernel_btd_interleaved(q_ref, k_ref, v_ref, o_ref, *, scale, tq, nh_blk, hd):
+    """btd with software-pipelined issue order: all QK dots first, then the
+    softmaxes, then the PV dots — lets head 1's MXU dot run concurrently
+    with head 0's VPU softmax (in-order issue + scoreboarding)."""
+    ss = []
+    for h in range(nh_blk):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(q_ref[0, :, sl], k_ref[0, :, sl],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        ss.append(s)
+    ps, ls = [], []
+    for h in range(nh_blk):
+        s = ss[h]
+        pad = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= tq
+        s = jnp.where(pad, -1e30, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        ls.append(jnp.sum(p, axis=-1, keepdims=True))
+        ps.append(p.astype(jnp.bfloat16))
+    for h in range(nh_blk):
+        sl = slice(h * hd, (h + 1) * hd)
+        o = jax.lax.dot_general(ps[h], v_ref[0, :, sl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / ls[h]).astype(o_ref.dtype)
+
+
+def attention_btd_i(q, k, v, *, tq, nh=16, heads_per=2):
+    Bq, P, D = q.shape
+    hd = D // nh
+    W = heads_per * hd
+    out = pl.pallas_call(
+        functools.partial(kernel_btd_interleaved, scale=hd ** -0.5, tq=tq,
+                          nh_blk=heads_per, hd=hd),
+        grid=(Bq, nh // heads_per),
+        in_specs=[
+            pl.BlockSpec((1, P, W), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, P, W), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bq, P, D), q.dtype),
+    )(q, k, v)
+    return out
+
+
+def attention_btd(q, k, v, *, tq, nh=16, heads_per=2):
+    """q,k,v: [B, P, D] (P sublane-aligned, D = nh*hd)."""
+    Bq, P, D = q.shape
+    hd = D // nh
+    W = heads_per * hd  # lane width per program
+    out = pl.pallas_call(
+        functools.partial(kernel_btd, scale=hd ** -0.5, tq=tq,
+                          nh_blk=heads_per, hd=hd),
+        grid=(Bq, nh // heads_per),
+        in_specs=[
+            pl.BlockSpec((1, P, W), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, P, W), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bq, P, D), q.dtype),
+    )(q, k, v)
+    return out
+
+
+def single_block_k(kernel, q, k, v, *, pad_to=640):
+    Bq, Hq, Tq, hd = q.shape
+    P = pad_to
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, P - Tq), (0, 128 - hd)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, P - Tq), (0, 128 - hd)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, P - Tq), (0, 128 - hd)))
+    out = pl.pallas_call(
+        functools.partial(kernel, scale=hd ** -0.5, tq=Tq),
+        grid=(Bq, Hq),
+        in_specs=[
+            pl.BlockSpec((1, 1, P, 128), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, 1, P, 128), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bq, Hq, P, 128), q.dtype),
+    )(qp, kp, vp)
+    return out[:, :, :Tq, :hd]
+
+
 def kernel_heads_resident(q_ref, k_ref, v_ref, o_ref, *, scale, tq, nh):
     """One program per frame; all heads live in VMEM, fori over heads."""
     def body(h, _):
@@ -159,23 +361,27 @@ def main():
     q, k, v = (jax.random.normal(kk, (B, H, T, HD), jnp.bfloat16)
                for kk in jax.random.split(key, 3))
 
-    bench("flash (production)", lambda q, k, v: flash_attention(q, k, v), q, k, v)
-    bench("flash block_q=128",
-          lambda q, k, v: flash_attention(q, k, v, block_q=128), q, k, v)
-    bench("single-block 640", lambda q, k, v: single_block(q, k, v), q, k, v)
-    bench("single-block 640 vmem8",
-          lambda q, k, v: single_block(q, k, v, vmem_mb=8), q, k, v)
-    bench("single-block 592",
-          lambda q, k, v: single_block(q, k, v, pad_to=592), q, k, v)
-    bench("heads-resident/frame", lambda q, k, v: heads_resident(q, k, v), q, k, v)
+    # [B, P, D] layout inputs (the layer's natural layout, pre-padded once)
+    P = 592
+    qb = jnp.pad(q.transpose(0, 2, 1, 3).reshape(B, T, H * HD), ((0, 0), (0, P - T), (0, 0)))
+    kb = jnp.pad(k.transpose(0, 2, 1, 3).reshape(B, T, H * HD), ((0, 0), (0, P - T), (0, 0)))
+    vb = jnp.pad(v.transpose(0, 2, 1, 3).reshape(B, T, H * HD), ((0, 0), (0, P - T), (0, 0)))
+
+    bench("btd x2",
+          lambda q_, k_, v_: attention_btd(q_, k_, v_, tq=T, heads_per=2),
+          qb, kb, vb)
+    for hp in (2, 4):
+        bench(f"btd-interleaved x{hp}",
+              lambda q_, k_, v_, hp=hp: attention_btd_i(q_, k_, v_, tq=T, heads_per=hp),
+              qb, kb, vb)
 
     # correctness cross-check vs XLA
     from trace_tpu.kernels.flash_attention import xla_attention
-    ref = xla_attention(q, k, v)
-    for name, fn in [("single-block", lambda: single_block(q, k, v)),
-                     ("heads-resident", lambda: heads_resident(q, k, v))]:
-        err = float(jnp.max(jnp.abs(fn().astype(jnp.float32) - ref.astype(jnp.float32))))
-        print(f"max|{name} - xla| = {err:.2e}", flush=True)
+    ref = xla_attention(q, k, v)  # [B, H, T, hd]
+    ref_btd = ref.transpose(0, 2, 1, 3).reshape(B, T, H * HD)
+    got = attention_btd(qb, kb, vb, tq=T, heads_per=2)[:, :T]
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref_btd.astype(jnp.float32))))
+    print(f"max|btd - xla| = {err:.2e}", flush=True)
 
 
 if __name__ == "__main__":

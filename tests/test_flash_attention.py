@@ -51,3 +51,42 @@ def test_fully_masked_rows_are_finite():
     bias = jnp.full((B, T), -1e30, jnp.float32)
     out = flash_attention(q, k, v, bias, causal=False, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestVitBtdAttention:
+    """[B, T, D]-layout ViT attention kernel (lane-sliced heads)."""
+
+    def test_interpret_matches_reference(self):
+        from trace_tpu.kernels.flash_attention import (
+            vit_attention_btd,
+            vit_attention_btd_reference,
+        )
+
+        B, P, NH, HD, TQ = 2, 64, 4, 64, 57
+        D = NH * HD
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (jax.random.normal(kk, (B, P, D), jnp.float32) for kk in ks)
+        got = vit_attention_btd(q, k, v, tq=TQ, num_heads=NH, interpret=True)
+        want = vit_attention_btd_reference(q, k, v, tq=TQ, num_heads=NH)
+        # pad rows are unspecified; compare the real rows
+        np.testing.assert_allclose(
+            np.asarray(got[:, :TQ]), np.asarray(want[:, :TQ]), atol=2e-5
+        )
+
+    def test_padded_vit_forward_matches_unpadded(self):
+        """use_flash pads tokens 577->592 through the whole stack; the
+        output over real tokens must match the unpadded einsum path."""
+        from trace_tpu.model.config import VisionConfig
+        from trace_tpu.model.vit import init_vit_params, vit_forward
+
+        cfg = VisionConfig(
+            image_size=56, patch_size=8, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4,
+        )  # 49 patches + CLS = 50 tokens -> pads to 64
+        params = init_vit_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+        imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 56, 56, 3), jnp.float32)
+        want = vit_forward(params, cfg, imgs, use_flash=False)
+        got = vit_forward(params, cfg, imgs, use_flash=True)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)

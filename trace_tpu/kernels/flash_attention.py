@@ -151,6 +151,94 @@ def flash_attention(
     return out[:, :, :Tq, :hd]
 
 
+def _btd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, tq, nh_blk, hd):
+    """[B, T, D]-layout bidirectional attention, heads lane-sliced in-kernel.
+
+    Built for the ViT's shape (T=577 -> 592 sublane pad, hd=64): the
+    [B, H, T, hd] head transpose + pad-to-128 relayouts around the generic
+    flash kernel cost more than its dots (attention measured 165 ms of the
+    407 ms ViT video; benchmarks/attn_tune.py) — this kernel reads q/k/v in
+    the layer's natural [B, T, D] layout and writes the output there too,
+    so the only data movement is the block DMA itself.  Issue order is
+    software-pipelined: both heads' QK dots first, then the softmaxes, then
+    the PV dots, letting head h+1's MXU dot overlap head h's VPU softmax.
+    Key columns >= tq are masked (-inf); pad ROWS produce garbage that the
+    caller slices off."""
+    ss = []
+    for h in range(nh_blk):
+        sl = slice(h * hd, (h + 1) * hd)
+        s = jax.lax.dot_general(
+            q_ref[0, :, sl], k_ref[0, :, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        ss.append(s)
+    ps, ls = [], []
+    for h in range(nh_blk):
+        s = ss[h]
+        pad = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) >= tq
+        s = jnp.where(pad, NEG_INF, s)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        ls.append(jnp.sum(p, axis=-1, keepdims=True))
+        ps.append(p.astype(v_ref.dtype))
+    for h in range(nh_blk):
+        sl = slice(h * hd, (h + 1) * hd)
+        o = jax.lax.dot_general(
+            ps[h], v_ref[0, :, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / ls[h]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "num_heads", "heads_per", "interpret"))
+def vit_attention_btd(
+    q: jax.Array,                 # [B, P, D], P sublane-aligned (>= tq)
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tq: int,                      # real sequence length (<= P)
+    num_heads: int,
+    heads_per: int = 2,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bidirectional attention in [B, T, D] layout (see _btd_kernel)."""
+    B, P, D = q.shape
+    hd = D // num_heads
+    scale = hd ** -0.5
+    W = heads_per * hd
+    return pl.pallas_call(
+        functools.partial(
+            _btd_kernel, scale=scale, tq=tq, nh_blk=heads_per, hd=hd
+        ),
+        grid=(B, num_heads // heads_per),
+        in_specs=[
+            pl.BlockSpec((1, P, W), lambda b, h: (b, 0, h),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_specs=pl.BlockSpec((1, P, W), lambda b, h: (b, 0, h),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * num_heads * P * P * hd,
+            bytes_accessed=4 * B * P * D * q.dtype.itemsize,
+            transcendentals=B * num_heads * P * P,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def vit_attention_btd_reference(q, k, v, *, tq, num_heads):
+    """XLA reference for vit_attention_btd (CPU tests / parity)."""
+    B, P, D = q.shape
+    hd = D // num_heads
+    qh = q.reshape(B, P, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, P, num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, P, num_heads, hd).transpose(0, 2, 1, 3)
+    bias = jnp.where(jnp.arange(P) < tq, 0.0, NEG_INF)[None, :]
+    o = xla_attention(qh, kh, vh, jnp.broadcast_to(bias, (B, P)))
+    return o.transpose(0, 2, 1, 3).reshape(B, P, D)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention_trainable(q, k, v, mask_bias, causal: bool = False):
     """Differentiable flash attention, scores VMEM-only in BOTH directions:

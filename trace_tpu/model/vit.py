@@ -141,7 +141,30 @@ def fuse_vision_qkv(params: dict) -> dict:
     return out
 
 
-def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = False) -> jax.Array:
+def _btd_attention(q, k, v, config: VisionConfig, tq: int):
+    """[B, P, D] attention via the lane-sliced Pallas kernel (TPU) with an
+    XLA fallback (CPU tests / unsupported shapes)."""
+    from trace_tpu.kernels.flash_attention import (
+        vit_attention_btd,
+        vit_attention_btd_reference,
+    )
+
+    nh = config.num_heads
+    hd = q.shape[-1] // nh
+    # the kernel wants 128-lane head-pair blocks and a sublane-aligned P;
+    # tiny test configs (and CPU) take the XLA reference
+    if nh % 2 == 0 and (2 * hd) % 128 == 0 and q.shape[1] % 16 == 0:
+        try:
+            return vit_attention_btd(q, k, v, tq=tq, num_heads=nh)
+        except Exception:
+            pass
+    return vit_attention_btd_reference(q, k, v, tq=tq, num_heads=nh)
+
+
+def _vit_layer(
+    x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = False,
+    tq: int | None = None,
+) -> jax.Array:
     from trace_tpu.model.quantize import dequantize as dq
     from trace_tpu.model.quantize import is_quantized
 
@@ -149,6 +172,7 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = F
     NH = c.num_heads
     B, T, D = x.shape
     HD = D // NH
+    tq = T if tq is None else tq
 
     w8a8 = c.act_quant and is_quantized(lp.get("wq"))
     if w8a8:
@@ -168,19 +192,22 @@ def _vit_layer(x: jax.Array, lp: dict, config: VisionConfig, use_flash: bool = F
         q = (jnp.einsum("btd,de->bte", h, dq(lp["wq"], x.dtype), preferred_element_type=jnp.float32) + lp["bq"]).astype(x.dtype)
         k = (jnp.einsum("btd,de->bte", h, dq(lp["wk"], x.dtype), preferred_element_type=jnp.float32) + lp["bk"]).astype(x.dtype)
         v = (jnp.einsum("btd,de->bte", h, dq(lp["wv"], x.dtype), preferred_element_type=jnp.float32) + lp["bv"]).astype(x.dtype)
-    q = q.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
-    k = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
-
     if use_flash:
-        from trace_tpu.kernels.flash_attention import flash_attention
-
-        attn = flash_attention(q, k, v, causal=False)
+        # [B, T, D]-layout Pallas kernel: no head transpose, no hd padding
+        # (the relayouts around the generic [B, H, T, hd] kernel used to
+        # cost more than the attention dots — benchmarks/attn_tune.py)
+        attn = _btd_attention(q, k, v, c, tq).astype(x.dtype)
     else:
+        q = q.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)
+        if tq != T:  # pad keys are invisible
+            scores = jnp.where(jnp.arange(T)[None, None, None] < tq, scores, -1e30)
         probs = jax.nn.softmax(scores * (HD ** -0.5), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bnts,bnsh->bnth", probs, v, preferred_element_type=jnp.float32)
-    attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+        attn = attn.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+    attn = attn.astype(x.dtype)
     if w8a8:
         aq, asc = quantize_acts(attn)
         attn = (quant_apply_w8a8(aq, asc, lp["wo"], (D,), out_dtype=jnp.float32) + lp["bo"]).astype(x.dtype)
@@ -236,13 +263,24 @@ def vit_forward(
     x = x + params["position_embedding"][None, : x.shape[1]]
     x = layer_norm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], c.layer_eps)
 
+    # sublane-align the token dim ONCE for the whole stack (577 -> 592):
+    # every per-layer matmul then runs on aligned shapes and the btd
+    # attention kernel needs no per-layer pad/slice relayouts.  Pad rows
+    # carry bounded garbage (masked out of attention keys; LN of zeros is
+    # the bias row) and are sliced off below.
+    tq = x.shape[1]
+    P = -(-tq // 16) * 16
+    if use_flash and P != tq:
+        x = jnp.pad(x, ((0, 0), (0, P - tq), (0, 0)))
+
     num_run = c.num_layers + 1 + c.select_layer  # -2 => num_layers - 1
     layers = jax.tree.map(lambda a: a[:num_run], params["layers"])
 
     def body(x, lp):
-        return _vit_layer(x, lp, c, use_flash=use_flash), None
+        return _vit_layer(x, lp, c, use_flash=use_flash, tq=tq), None
 
     x, _ = jax.lax.scan(body, x, layers)
+    x = x[:, :tq]
 
     if c.select_feature == "patch":
         return x[:, 1:]
