@@ -469,3 +469,44 @@ def test_meteor_fallback_scorer_semantics():
     res = {"0": ["the cooks stirring the pan slow"]}
     final, _ = m.compute_score(gts, res)
     assert final > 0.3
+
+
+def test_rouge_l_matches_google_rouge_score():
+    """Our ROUGE-L (LCS F, beta=1.2, max over refs) vs Google's rouge_score
+    package: identical LCS precision/recall per pair (their fmeasure is
+    beta=1, so recombine their P/R with beta=1.2 and take the same
+    max-over-refs)."""
+    rs = pytest.importorskip("rouge_score")
+    from rouge_score import rouge_scorer
+
+    from trace_tpu.metrics.bleu_rouge import RougeL
+
+    class SplitTok:
+        def tokenize(self, text):
+            return text.split()
+
+    scorer = rouge_scorer.RougeScorer(["rougeL"], tokenizer=SplitTok())
+    rng = np.random.default_rng(11)
+    vocab = ("pan stir add cook onion oil heat salt plate serve the a with "
+             "then slowly until golden quickly brown").split()
+    gts, res = {}, {}
+    for i in range(20):
+        n_refs = int(rng.integers(1, 4))
+        mk = lambda lo, hi: " ".join(
+            vocab[int(rng.integers(0, len(vocab)))]
+            for _ in range(int(rng.integers(lo, hi)))
+        )
+        gts[str(i)] = [mk(4, 14) for _ in range(n_refs)]
+        res[str(i)] = [mk(3, 12)]
+
+    ours_avg, ours_per = RougeL().compute_score(gts, res)
+    beta = RougeL.beta
+    for j, k in enumerate(sorted(gts.keys())):
+        want = 0.0
+        for ref in gts[k]:
+            s = scorer.score(ref, res[k][0])["rougeL"]
+            p, r = s.precision, s.recall
+            f = ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p) if p and r else 0.0
+            want = max(want, f)
+        assert abs(ours_per[j] - want) < 1e-9, (k, ours_per[j], want)
+    assert abs(ours_avg - float(np.mean(ours_per))) < 1e-12
