@@ -92,3 +92,38 @@ def test_corpus_split_bucket_overflow(pipe):
     )
     for a, b in zip(want, got):
         assert a.to_dict() == b.to_dict()
+
+
+def test_prewarm_compiles_is_result_neutral():
+    """The compile-prewarm thread (zero-prefix prefill + 1-step decode on
+    the donated arena during the encode phase) must not change tokens."""
+    import jax
+    import numpy as np
+
+    from trace_tpu.model.config import TraceConfig
+    from trace_tpu.model.trace_model import init_trace_params
+    from trace_tpu.runtime.pipeline import TracePipeline
+    from trace_tpu.tokenizers.text import ByteTokenizer
+
+    cfg = TraceConfig.tiny()
+    pipe = TracePipeline(
+        params=init_trace_params(cfg, jax.random.PRNGKey(3)),
+        config=cfg, tokenizer=ByteTokenizer(),
+    )
+    T = cfg.num_frames
+    rng = np.random.default_rng(5)
+    vids = [rng.integers(0, 255, (T, 40, 56, 3)).astype(np.uint8)
+            for _ in range(6)]
+    ts = [[float(i)] for i in range(T)]
+
+    def load_item(i):
+        return vids[i], ts, "Describe the events."
+
+    kw = dict(encode_batch=2, decode_batch=3, prefill_batch=1,
+              max_new_tokens=10, token_budget=16, offload_vision=False)
+    warm = pipe.infer_events_corpus(load_item, 6, prewarm_compiles=True, **kw)
+    cold = pipe.infer_events_corpus(load_item, 6, prewarm_compiles=False, **kw)
+    for a, b in zip(warm, cold):
+        assert a.timestamps == b.timestamps
+        assert a.captions == b.captions
+        assert a.scores == b.scores

@@ -560,6 +560,7 @@ class TracePipeline:
         producer_threads: int = 4,
         prefetch_batches: int = 6,
         token_budget: Optional[int] = None,
+        prewarm_compiles: bool = True,
     ) -> list[EventPredictions]:
         """Encode every video first (vision tower resident), then batch-decode.
 
@@ -628,6 +629,52 @@ class TracePipeline:
         split_mode = bool(prefill_batch and prefill_batch < decode_batch)
         D = self.config.decoder.hidden_size
 
+        import threading
+
+        prewarm_thread = None
+        prewarm_out: dict = {}
+
+        def _prewarm(arena, bucket):
+            """Compile (or cache-fetch) the prefill + decode executables
+            while the encode phase runs.  Chains the donated arena through
+            a zero-prefix prefill and a 1-step decode — the exact traces
+            the decode phase will invoke — and hands the (aliased) buffer
+            back through prewarm_out."""
+            try:
+                c = self.config.decoder
+                budget = max(max_new_tokens, token_budget or 0)
+                cache_len = bucket + budget
+                D = c.hidden_size
+                zp = jnp.zeros((prefill_batch, bucket, D), self.config.dtype)
+                zm = jnp.ones((prefill_batch, bucket), bool)
+                arena, cm0, lh0, np0 = gen.prefill_into_jit(
+                    self._decoder_params, c, arena, zp, zm, jnp.int32(0),
+                    cache_len=cache_len, use_flash=gen.default_use_flash(),
+                )
+                B = decode_batch
+                tokens, num, arena = gen.decode_jit(
+                    self._decoder_params, c, arena,
+                    jnp.zeros((B, cache_len), bool),
+                    jnp.zeros((B, D), lh0.dtype),
+                    jnp.zeros((B,), jnp.int32),
+                    self._combined,
+                    jnp.full((B,), 1, jnp.int32),
+                    prefix_len=bucket, max_new_tokens=budget,
+                    temperature=temperature,
+                    eos_id=self.tokenizer.eos_token_id,
+                    rng=jax.random.PRNGKey(seed),
+                    max_steps=(jnp.int32(1) if token_budget else None),
+                )
+                np.asarray(tokens[:1, :1])  # fence
+            except Exception as e:  # pragma: no cover - best effort
+                # the donated arena may be half-consumed — drop it and let
+                # the decode phase allocate fresh
+                arena = None
+                print(f"decode prewarm failed ({type(e).__name__}: "
+                      f"{str(e)[:120]}); decode phase will compile",
+                      flush=True)
+            prewarm_out["arena"] = arena
+
         # producer threads run host decode + cv2 downscale/I420 (~0.3 s of
         # host CPU per video; cv2 and device_put release the GIL) and the
         # async uploads; queued videos are small uint8 bands so a deeper
@@ -639,7 +686,7 @@ class TracePipeline:
             next_submit = prefetch_batches
             for bi in range(len(batches)):
                 prepared = futures[bi].result()
-                if kv_arena is None and split_mode:
+                if kv_arena is None and split_mode and prewarm_thread is None:
                     # grab the decode-batch KV arena NOW, before the first
                     # encode program runs: the 2+ GiB contiguous K/V arrays
                     # stop fitting once prefix/frame buffers scatter through
@@ -656,6 +703,21 @@ class TracePipeline:
                         L_bucket + max(max_new_tokens, token_budget or 0),
                         dtype=self.config.dtype,
                     )
+                    if prewarm_compiles and not constrain_time:
+                        # overlap the prefill/decode executable builds (or
+                        # persistent-cache fetches — tens of seconds each
+                        # through the remote compiler) with the encode
+                        # phase: one zero-prefix prefill + a 1-step decode
+                        # on the REAL arena (donation-aliased, so memory-
+                        # neutral) populates the in-memory jit cache the
+                        # decode phase will hit
+                        prewarm_thread = threading.Thread(
+                            target=_prewarm,
+                            args=(kv_arena, L_bucket),
+                            daemon=True,
+                        )
+                        kv_arena = None  # ownership with the thread
+                        prewarm_thread.start()
                 if next_submit < len(batches):
                     futures.append(pool.submit(prepare_batch, batches[next_submit]))
                     next_submit += 1
@@ -719,6 +781,12 @@ class TracePipeline:
 
         if offload_vision:
             self._offload_vision()
+
+        if prewarm_thread is not None:
+            # compiles that did not finish inside the encode window block
+            # here — still strictly better than compiling serially
+            prewarm_thread.join()
+            kv_arena = prewarm_out.get("arena")
 
         t_decode0 = _time.perf_counter()
         detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
