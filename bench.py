@@ -304,10 +304,14 @@ def main():
             load_item, n_videos,
             token_budget=shared_budget if decode_batch > 8 else None,
             # the encode executable's temps run ~0.56 GiB per video in the
-            # batch (benchmarks AOT: 3.45 GiB at batch 4); next to the
-            # batch-32 KV arena that overflows the 15.75 GiB usable HBM ->
-            # encode 2 when the arena is big
-            encode_batch=(2 if decode_batch >= 32 else min(4, decode_batch)),
+            # batch (benchmarks AOT: 3.45 GiB at batch 4); next to a big KV
+            # arena (batch>=32, or batch>=24 with the 512 budget) that
+            # overflows the 15.75 GiB usable HBM -> encode 2
+            encode_batch=(
+                2 if (decode_batch >= 32
+                      or (shared_budget and decode_batch >= 24))
+                else min(4, decode_batch)
+            ),
             decode_batch=decode_batch,
             max_new_tokens=max_new_tokens or args.decode_tokens,
             temperature=0.0,
@@ -327,6 +331,15 @@ def main():
         )
 
     B = args.batch
+    if shared_budget and B >= 32 and not args.small:
+        # the 512-budget int8 arena at batch 32 is 6.45 GB — ~0.5 GB past
+        # what fits next to 7 GB int8 weights + resident tower + encode
+        # temps (measured OOM ladder 2026-08-17). Batch 24 (4.84 GB arena)
+        # is the serving point with budget sharing; decode-loop tok/s/video
+        # costs ~3% while the shared executables save a compile + the
+        # fallback burn. Explicit old behavior: TRACE_TPU_BENCH_512=0.
+        print("shared 512 budget: decode batch 32 -> 24", flush=True)
+        B = 24
     if args.quant == "bf16" and not args.small and B > 2:
         # 7B bf16 weights are ~the whole chip (round-1: batch>=2 decode hit
         # ResourceExhausted even with the tower offloaded); skip the slow
