@@ -71,6 +71,65 @@ def main():
     except Exception as e:
         print(f"band preprocess: FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)
 
+    # --- straight-to-patches band program (serving path) ------------------
+    try:
+        from trace_tpu.runtime.pipeline import _preprocess_yuv_band_patches_jit
+
+        patch = config.vision.patch_size
+        canvas3 = jnp.asarray([0.45, 0.43, 0.41], jnp.float32)
+        out = _preprocess_yuv_band_patches_jit(
+            yuv, top, jnp.int32(0), canvas3, size, patch, out_dtype=config.dtype
+        )
+        fence(out)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fence(_preprocess_yuv_band_patches_jit(
+                yuv, top, jnp.int32(0), canvas3, size, patch,
+                out_dtype=config.dtype,
+            ))
+            ts.append(time.perf_counter() - t0)
+        t_bandp = min(ts)
+        print(f"band->patches ({T}f): {t_bandp*1e3:.1f} ms/video", flush=True)
+    except Exception as e:
+        t_bandp = None
+        print(f"band->patches: FAIL {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+    # --- full encode program, PATCH input (serving path) ------------------
+    n_video = T * tokens_per_frame(config)
+    L = n_video + 640
+    NP = (size // config.vision.patch_size) ** 2
+    CPP = 3 * config.vision.patch_size ** 2
+    token_ids = jnp.zeros((EB, L), jnp.int32)
+    video_pos = jnp.full((EB,), 4, jnp.int32)
+    patches_in = jnp.zeros((EB, T, NP, CPP), config.dtype)
+    time_ids = jnp.full((EB, T, 6), 3, jnp.int32)
+    from trace_tpu.runtime.generate import default_use_flash as _duf
+    t0 = time.perf_counter()
+    out = pl._encode_prefix_jit(
+        pipe._encode_params, config, token_ids, video_pos, patches_in, time_ids,
+        pipe._combined, _duf(),
+    )
+    fence(out)
+    print(f"encode(patches) compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fence(pl._encode_prefix_jit(
+            pipe._encode_params, config, token_ids, video_pos, patches_in,
+            time_ids, pipe._combined, _duf(),
+        ))
+        ts.append(time.perf_counter() - t0)
+    t_encp = min(ts)
+    print(
+        f"encode(patches) (B={EB}): {t_encp*1e3:.0f} ms -> {EB*T/t_encp:.0f} f/s "
+        f"({t_encp/EB*1e3:.0f} ms/video)", flush=True,
+    )
+    if t_bandp is not None:
+        pv = t_encp / EB + t_bandp
+        print(f"device encode total (patches): {pv*1e3:.0f} ms/video "
+              f"({T/pv:.0f} f/s serialized)", flush=True)
+
     # --- full encode program (per encode batch of EB videos) -------------
     n_video = T * tokens_per_frame(config)
     L = n_video + 640

@@ -105,3 +105,38 @@ def test_content_band_geometry():
             assert top <= lo and top + h >= min(S, hi)
         elif H > W:
             assert (top, h) == (0, S)
+
+
+def test_band_patches_match_pixel_path_exactly():
+    """The straight-to-patches band preprocess must equal the pixel band
+    preprocess + extract_patches bit-for-bit (same elementwise ops, layout
+    permutation only)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trace_tpu.model.vit import extract_patches
+    from trace_tpu.runtime.pipeline import (
+        _preprocess_yuv_band_jit,
+        _preprocess_yuv_band_patches_jit,
+    )
+
+    rng = np.random.default_rng(3)
+    T, S, p = 4, 48, 8
+    h, w = 32, 48
+    band = rng.integers(0, 255, (T, h * 3 // 2, w), np.uint8)
+    canvas = np.asarray([0.45, 0.43, 0.41], np.float32)
+    top, left = jnp.int32((S - h) // 2), jnp.int32(0)
+
+    pixels = _preprocess_yuv_band_jit(
+        jnp.asarray(band), top, left, jnp.asarray(canvas), S,
+        out_dtype=jnp.bfloat16,
+    )
+    want = extract_patches(pixels, p)
+    got = _preprocess_yuv_band_patches_jit(
+        jnp.asarray(band), top, left, jnp.asarray(canvas), S, p,
+        out_dtype=jnp.bfloat16,
+    )
+    assert got.shape == want.shape == (T, (S // p) ** 2, 3 * p * p)
+    np.testing.assert_array_equal(
+        np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
+    )

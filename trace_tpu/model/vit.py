@@ -250,7 +250,14 @@ def vit_forward(
     from trace_tpu.model.quantize import dequantize as dq
 
     patch_w = dq(params["patch_embed"], images.dtype if images.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32)
-    patches = extract_patches(images, c.patch_size).astype(patch_w.dtype)
+    if images.ndim == 3:
+        # pre-extracted patches [B, n_patches, C*p*p] (channel-major rows,
+        # the extract_patches layout) — the serving band path patchifies
+        # during YUV conversion so no [H, W, 3]-layout tensor is ever
+        # materialized (video/preprocess.i420_band_to_patches)
+        patches = images.astype(patch_w.dtype)
+    else:
+        patches = extract_patches(images, c.patch_size).astype(patch_w.dtype)
     embeds = jnp.einsum(
         "bnp,pd->bnd", patches, patch_w, preferred_element_type=jnp.float32
     )

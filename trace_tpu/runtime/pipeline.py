@@ -112,6 +112,30 @@ def _store_prefix_rows(store, rows, b0):
     )
 
 
+@partial(jax.jit, static_argnames=("size", "patch", "out_dtype"))
+def _preprocess_yuv_band_patches_jit(yuv_band, top, left, canvas_rgb01, size,
+                                     patch, out_dtype=jnp.float32):
+    """Content-band I420 -> CLIP-normalized ViT patches [T, N, 3*p*p].
+
+    The serving preprocess: planar all the way (no [S, S, 3] channels-minor
+    tensor — that layout measured ~60 ms/video of pure relayout), feeding
+    vit_forward's pre-extracted-patches input."""
+    from trace_tpu.video.preprocess import i420_band_to_patches
+
+    return i420_band_to_patches(
+        yuv_band, top, left, canvas_rgb01, size, patch, out_dtype
+    )
+
+
+@partial(jax.jit, static_argnames=("patch",))
+def _pixels_to_patches_jit(frames, patch):
+    """[T, S, S, 3] -> [T, N, 3*p*p] (mixed-batch fallback so pixel-path
+    samples can stack with patch-path samples)."""
+    from trace_tpu.model.vit import extract_patches
+
+    return extract_patches(frames, patch)
+
+
 @partial(jax.jit, static_argnames=("size", "out_dtype"))
 def _preprocess_yuv_band_jit(yuv_band, top, left, canvas_rgb01, size,
                              out_dtype=jnp.float32):
@@ -273,24 +297,48 @@ class TracePipeline:
                 if cfg.image_aspect_ratio == "pad"
                 else (0, S, 0, S)
             )
+            # straight-to-patches preprocess (planar, no [S,S,3] tensor)
+            # whenever the ViT grid divides the canvas — the standard config
+            patchify = S % cfg.vision.patch_size == 0
+            fill = (np.asarray(CLIP_IMAGE_MEAN) * 255).astype(np.uint8)
             if (h, w) != (S, S):
                 # upload only the rows/cols that aren't the uniform pad color
                 band = np.ascontiguousarray(
                     frames_u8[:, top : top + h, left : left + w]
                 )
-                fill = (np.asarray(CLIP_IMAGE_MEAN) * 255).astype(np.uint8)
                 args = (
                     jnp.asarray(rgb_to_i420_np(band)),
                     jnp.int32(top), jnp.int32(left),
                     jnp.asarray(i420_fill_rgb01(fill)), S,
                 )
-                if defer_preprocess:
+                if patchify:
+                    args = args + (cfg.vision.patch_size,)
+                    if defer_preprocess:
+                        frames = ("yuv_band_p",) + args
+                    else:
+                        frames = _preprocess_yuv_band_patches_jit(
+                            *args, out_dtype=cfg.dtype
+                        )
+                elif defer_preprocess:
                     frames = ("yuv_band",) + args
                 else:
                     frames = _preprocess_yuv_band_jit(*args, out_dtype=cfg.dtype)
             else:
                 yuv = jnp.asarray(rgb_to_i420_np(np.ascontiguousarray(frames_u8)))
-                if defer_preprocess:
+                if patchify:
+                    # full-frame: the band covers the whole canvas
+                    args = (
+                        yuv, jnp.int32(0), jnp.int32(0),
+                        jnp.asarray(i420_fill_rgb01(fill)), S,
+                        cfg.vision.patch_size,
+                    )
+                    if defer_preprocess:
+                        frames = ("yuv_band_p",) + args
+                    else:
+                        frames = _preprocess_yuv_band_patches_jit(
+                            *args, out_dtype=cfg.dtype
+                        )
+                elif defer_preprocess:
                     frames = ("yuv_full", yuv)
                 else:
                     frames = _preprocess_yuv_jit(yuv, out_dtype=cfg.dtype)
@@ -338,13 +386,28 @@ class TracePipeline:
             mask[b, pad:] = True
 
         def resolve(f):
+            if isinstance(f, tuple) and f and f[0] == "yuv_band_p":
+                return _preprocess_yuv_band_patches_jit(
+                    *f[1:], out_dtype=cfg.dtype
+                )
             if isinstance(f, tuple) and f and f[0] == "yuv_band":
                 return _preprocess_yuv_band_jit(*f[1:], out_dtype=cfg.dtype)
             if isinstance(f, tuple) and f and f[0] == "yuv_full":
                 return _preprocess_yuv_jit(f[1], out_dtype=cfg.dtype)
             return f
 
-        frames = jnp.stack([resolve(s[2]) for s in per_sample])
+        resolved = [resolve(s[2]) for s in per_sample]
+        if len({r.ndim for r in resolved}) > 1:
+            # mixed patch/pixel batch (aspect-dependent routing): patchify
+            # the pixel samples so the stack is uniform
+            resolved = [
+                r if r.ndim == 3
+                else _pixels_to_patches_jit(r, cfg.vision.patch_size).astype(
+                    cfg.dtype
+                )
+                for r in resolved
+            ]
+        frames = jnp.stack(resolved)
         time_ids = jnp.stack([jnp.asarray(s[3]) for s in per_sample])
 
         prefix = _encode_prefix_jit(

@@ -110,9 +110,12 @@ def rgb_to_i420_np(frames: np.ndarray) -> np.ndarray:
     return out
 
 
-def i420_to_rgb(yuv: jax.Array) -> jax.Array:
-    """Device: planar I420 [T, H*3//2, W] uint8 -> RGB float [T, H, W, 3] in
-    [0, 255] (BT.601 full-range inverse of cv2's RGB2YUV_I420)."""
+def i420_to_planes(yuv: jax.Array) -> tuple:
+    """Device: planar I420 [T, H*3//2, W] uint8 -> (r, g, b) fp32 planes
+    [T, H, W] in [0, 255] (BT.601 studio swing, inverse of cv2's
+    RGB2YUV_I420).  Kept PLANAR so downstream patch extraction never
+    materializes a channels-minor [H, W, 3] tensor (3-wide lane dim =
+    pathological TPU layout; measured ~60 ms/video in the band program)."""
     T, H15, W = yuv.shape
     H = H15 * 2 // 3
     y = yuv[:, :H, :].astype(jnp.float32)
@@ -124,12 +127,60 @@ def i420_to_rgb(yuv: jax.Array) -> jax.Array:
     u = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
     v = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2).astype(jnp.float32) - 128.0
 
-    # BT.601 studio swing (what cv2's I420 conversions use)
     yf = 1.164 * (y - 16.0)
     r = yf + 1.596 * v
     g = yf - 0.391 * u - 0.813 * v
     b = yf + 2.018 * u
-    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
+    clip = lambda x: jnp.clip(x, 0.0, 255.0)
+    return clip(r), clip(g), clip(b)
+
+
+def i420_to_rgb(yuv: jax.Array) -> jax.Array:
+    """Device: planar I420 -> RGB float [T, H, W, 3] in [0, 255]."""
+    r, g, b = i420_to_planes(yuv)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def patchify_plane(x: jax.Array, patch: int) -> jax.Array:
+    """[T, S, S] single-channel plane -> [T, n_patches, patch*patch]
+    (row-major patch grid, matching extract_patches' per-channel block)."""
+    T, H, W = x.shape
+    gh, gw = H // patch, W // patch
+    x = x.reshape(T, gh, patch, gw, patch)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(T, gh * gw, patch * patch)
+
+
+def i420_band_to_patches(
+    yuv_band: jax.Array,     # [T, h*3//2, w] uint8 content band
+    top, left,               # band placement on the S x S canvas
+    canvas_rgb01: jax.Array, # [3] fill color (wire round-trip value, 0..1)
+    size: int,
+    patch: int,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Content-band I420 -> CLIP-normalized ViT patches [T, N, 3*p*p].
+
+    Elementwise math identical to _preprocess_yuv_band_jit + the ViT's
+    extract_patches (same ops per element, channel-major patch rows), but
+    every intermediate stays planar [T, S, S] — no channels-minor tensor.
+    """
+    from trace_tpu.model.vit import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    planes = i420_to_planes(yuv_band)
+    T = yuv_band.shape[0]
+    out = []
+    for ci, plane in enumerate(planes):
+        mean = jnp.float32(CLIP_IMAGE_MEAN[ci])
+        std = jnp.float32(CLIP_IMAGE_STD[ci])
+        band = ((plane / 255.0 - mean) / std).astype(out_dtype)
+        fill = ((canvas_rgb01[ci] - mean) / std).astype(out_dtype)
+        canvas = jnp.broadcast_to(fill, (T, size, size))
+        canvas = jax.lax.dynamic_update_slice(
+            canvas, band, (jnp.int32(0), top, left)
+        )
+        out.append(patchify_plane(canvas, patch))
+    return jnp.concatenate(out, axis=-1)
 
 
 def pad_to_square_np(frames: np.ndarray, fill: np.ndarray) -> np.ndarray:
