@@ -178,6 +178,11 @@ def main():
     ap.add_argument("--prefill-batch", type=int, default=0,
                     help="override the serving-split prefill sub-batch "
                          "(0 = auto: 2 at decode>=32, else 4)")
+    ap.add_argument("--streamed", action="store_true",
+                    help="pipelined corpus mode: a decode worker prefills+"
+                         "decodes completed chunks while later chunks "
+                         "encode (chip fills the encode phase's link-wait "
+                         "gaps). Use --videos >= 3 so steady state shows.")
     ap.add_argument("--precompile-decode", action="store_true",
                     help="compile the --batch decode executable into the "
                          "persistent cache and exit. The tunneled compiler "
@@ -244,14 +249,24 @@ def main():
     # offload vision tower -> batched decode). Decode batch falls back if the
     # KV cache does not fit next to the weights.
     n_videos = args.videos * max(args.batch, 1)
-    frames_all = [
-        rng.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8)
-        for _ in range(n_videos)
-    ]
     ts = [[round(i * 1.7, 1)] for i in range(args.frames)]
+    if args.streamed and n_videos > 32:
+        # long streamed corpora: generate frames lazily in the producer
+        # threads (72 precomputed videos would hold ~2 GB of host RAM)
+        def load_item(i):
+            r = np.random.default_rng(i)
+            return (
+                r.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8),
+                ts, instruction,
+            )
+    else:
+        frames_all = [
+            rng.integers(0, 255, size=(args.frames, H, W, 3), dtype=np.uint8)
+            for _ in range(n_videos)
+        ]
 
-    def load_item(i):
-        return frames_all[i], ts, instruction
+        def load_item(i):
+            return frames_all[i], ts, instruction
 
     if args.precompile_decode:
         # one real encode fixes the prefix length; replicate it to the
@@ -302,6 +317,7 @@ def main():
     def run_corpus(decode_batch: int, max_new_tokens: int = None):
         return pipe.infer_events_corpus(
             load_item, n_videos,
+            streamed=args.streamed,
             token_budget=shared_budget if decode_batch > 8 else None,
             # the encode executable's temps run ~0.56 GiB per video in the
             # batch (benchmarks AOT: 3.45 GiB at batch 4); next to a big KV
@@ -326,7 +342,10 @@ def main():
             # big cache (4.6 GiB) squeezes the prefill phase further ->
             # prefill 2.
             prefill_batch=(
-                args.prefill_batch or (2 if decode_batch >= 32 else 4)
+                args.prefill_batch
+                or (2 if (decode_batch >= 32
+                          or (shared_budget and decode_batch >= 24))
+                    else 4)
             ) if decode_batch > 8 else None,
         )
 
@@ -436,7 +455,12 @@ def main():
     stats = best_stats
     encode_time = stats.get("encode_s", 0.0) / max(n_videos, 1)
     decode_time = stats.get("decode_s", 0.0) / max(n_videos, 1)
-    vit_fps = args.frames / encode_time if encode_time else 0.0
+    # streamed mode overlaps decode into the encode window — the window
+    # time is no longer a ViT rate
+    vit_fps = (
+        args.frames / encode_time
+        if encode_time and not stats.get("streamed") else 0.0
+    )
     decode_tps = args.decode_tokens / decode_time if decode_time else 0.0
     # honest per-phase rates (split mode fences between the prefill and
     # decode executables; the lumped decode_tok_per_sec includes prefill)
@@ -473,6 +497,7 @@ def main():
             # None if skipped/failed
             "videos_per_sec_512": vps_512,
             "compile_sec": round(compile_t, 1),
+            "streamed": bool(args.streamed),
             "config": "tiny" if args.small else f"trace-7b-{args.quant}",
             "baseline_estimate": "V100 eval loop ~0.33 videos/s (see BENCH_NOTES.md)",
         },

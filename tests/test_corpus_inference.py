@@ -127,3 +127,40 @@ def test_prewarm_compiles_is_result_neutral():
         assert a.timestamps == b.timestamps
         assert a.captions == b.captions
         assert a.scores == b.scores
+
+
+def test_streamed_corpus_matches_two_phase():
+    """Streamed mode (decode worker interleaved with the encode loop) must
+    produce exactly the two-phase results, including a partial last chunk
+    drained on the main thread."""
+    import jax
+    import numpy as np
+
+    from trace_tpu.model.config import TraceConfig
+    from trace_tpu.model.trace_model import init_trace_params
+    from trace_tpu.runtime.pipeline import TracePipeline
+    from trace_tpu.tokenizers.text import ByteTokenizer
+
+    cfg = TraceConfig.tiny()
+    pipe = TracePipeline(
+        params=init_trace_params(cfg, jax.random.PRNGKey(9)),
+        config=cfg, tokenizer=ByteTokenizer(),
+    )
+    T = cfg.num_frames
+    rng = np.random.default_rng(7)
+    vids = [rng.integers(0, 255, (T, 40, 56, 3)).astype(np.uint8)
+            for _ in range(7)]
+    ts = [[float(i)] for i in range(T)]
+
+    def load_item(i):
+        return vids[i], ts, "Localize the events."
+
+    kw = dict(encode_batch=2, decode_batch=3, prefill_batch=1,
+              max_new_tokens=8, token_budget=12, offload_vision=False)
+    streamed = pipe.infer_events_corpus(load_item, 7, streamed=True, **kw)
+    assert pipe.last_corpus_stats["streamed"] is True
+    plain = pipe.infer_events_corpus(load_item, 7, streamed=False, **kw)
+    for a, b in zip(streamed, plain):
+        assert a.timestamps == b.timestamps
+        assert a.captions == b.captions
+        assert a.scores == b.scores

@@ -624,6 +624,7 @@ class TracePipeline:
         prefetch_batches: int = 6,
         token_budget: Optional[int] = None,
         prewarm_compiles: bool = True,
+        streamed: bool = False,
     ) -> list[EventPredictions]:
         """Encode every video first (vision tower resident), then batch-decode.
 
@@ -697,6 +698,98 @@ class TracePipeline:
         prewarm_thread = None
         prewarm_out: dict = {}
 
+        # ---- decode machinery (shared by the two-phase tail loop and the
+        # streamed scheduler) --------------------------------------------
+        streamed_mode = bool(streamed and split_mode and not offload_vision)
+        detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
+        results_by_idx: dict[int, EventPredictions] = {}
+        decoded_chunks: set = set()
+        _phase_acc = [0.0, 0.0]   # prefill_s, decode_loop_s
+        decode_wall = [0.0]
+        arena_box = {"a": None}
+
+        def _arena_ready():
+            nonlocal prewarm_thread, kv_arena
+            if prewarm_thread is not None:
+                prewarm_thread.join()
+                prewarm_thread = None
+                arena_box["a"] = prewarm_out.get("arena")
+            elif arena_box["a"] is None:
+                arena_box["a"] = kv_arena
+                kv_arena = None
+
+        def _decode_chunk(c):
+            """Prefill + decode one chunk; mutates shared state.  Runs on
+            the main thread (two-phase) or the single decode worker
+            (streamed) — never both concurrently."""
+            _arena_ready()
+            t0 = _time.perf_counter()
+            start = c * decode_batch
+            chunk = list(range(start, min(start + decode_batch, num_items)))
+            B = len(chunk)
+            if c in stores:
+                prefix = stores.pop(c)
+                mask = np.stack([masks[i] for i in chunk])
+            else:
+                # bucket to 128 so the generate wrappers skip their own pad
+                L = max(prefixes[i].shape[0] for i in chunk)
+                L = max(128, ((L + 127) // 128) * 128)
+                rows = []
+                mask = np.zeros((B, L), bool)
+                for b, i in enumerate(chunk):
+                    pl = prefixes[i].shape[0]
+                    row = prefixes[i]
+                    if pl < L:  # left-pad on device
+                        row = jnp.pad(row, ((L - pl, 0), (0, 0)))
+                    rows.append(row)
+                    mask[b, L - pl :] = masks[i]
+                prefix = jnp.stack(rows)
+                # the stacked copy owns the data now; free the per-video
+                # device buffers before the decode program allocates
+                for i in chunk:
+                    prefixes.pop(i, None)
+                del rows
+            fids = jnp.asarray(np.stack([frame_ids[i] for i in chunk])) \
+                if constrain_time else None
+            gen_kwargs = dict(
+                max_new_tokens=max_new_tokens, initial_head=1,
+                temperature=temperature, eos_id=self.tokenizer.eos_token_id,
+                seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
+            )
+            # one-element lists transfer ownership: generate frees the
+            # stacked prefix before its decode executable allocates
+            prefix_ref = [prefix]
+            del prefix
+            if prefill_batch and prefill_batch < B:
+                # serving split: prefill sub-batches write into one donated
+                # decode-batch cache; the decode executable returns the cache
+                # so donation aliases it (no 2+ GiB input copy — what used to
+                # block decode batch 24, benchmarks/decode_mem_probe.py)
+                out = gen.generate_split(
+                    self._decoder_params, self.config.decoder,
+                    prefix_ref, jnp.asarray(mask), self._combined,
+                    prefill_batch=prefill_batch, cache=arena_box["a"],
+                    time_phases=True, token_budget=token_budget,
+                    **gen_kwargs,
+                )
+                arena_box["a"] = out.cache  # same physical buffer, recycled
+                if out.phase_times:
+                    _phase_acc[0] += out.phase_times["prefill_s"]
+                    _phase_acc[1] += out.phase_times["decode_s"]
+            else:
+                out = gen.generate(
+                    self._decoder_params, self.config.decoder,
+                    prefix_ref, jnp.asarray(mask), self._combined,
+                    **gen_kwargs,
+                )
+            for b in range(B):
+                ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
+                results_by_idx[chunk[b]] = decode_event_stream(
+                    ids, detok, text_vocab_size=self.config.decoder.vocab_size
+                )
+            decoded_chunks.add(c)
+            decode_wall[0] += _time.perf_counter() - t0
+
         def _prewarm(arena, bucket):
             """Compile (or cache-fetch) the prefill + decode executables
             while the encode phase runs.  Chains the donated arena through
@@ -738,6 +831,19 @@ class TracePipeline:
                       flush=True)
             prewarm_out["arena"] = arena
 
+        # streamed mode: a single decode worker prefills+decodes completed
+        # chunks WHILE later chunks encode — the chip interleaves decode
+        # steps into the encode phase's link-wait gaps (uploads overlap
+        # compute through the tunnel, benchmarks/upload_overlap_probe.py),
+        # instead of leaving the link idle for the whole decode phase.
+        # Throttled to <=2 chunks in flight so live prefix stores stay
+        # bounded.  Falls back to two-phase for overflow/legacy chunks.
+        decode_pool = (
+            ThreadPoolExecutor(max_workers=1) if streamed_mode else None
+        )
+        pending_decodes: list = []
+        next_stream_chunk = 0
+
         # producer threads run host decode + cv2 downscale/I420 (~0.3 s of
         # host CPU per video; cv2 and device_put release the GIL) and the
         # async uploads; queued videos are small uint8 bands so a deeper
@@ -748,8 +854,11 @@ class TracePipeline:
             ]
             next_submit = prefetch_batches
             for bi in range(len(batches)):
+                if decode_pool is not None and len(pending_decodes) >= 2:
+                    pending_decodes.pop(0).result()  # backpressure
                 prepared = futures[bi].result()
-                if kv_arena is None and split_mode and prewarm_thread is None:
+                if (kv_arena is None and split_mode
+                        and prewarm_thread is None and arena_box["a"] is None):
                     # grab the decode-batch KV arena NOW, before the first
                     # encode program runs: the 2+ GiB contiguous K/V arrays
                     # stop fitting once prefix/frame buffers scatter through
@@ -832,6 +941,24 @@ class TracePipeline:
                         )
                         for t in ts
                     ]).astype(np.int32))
+                if decode_pool is not None:
+                    # chunks encode in index order: everything through the
+                    # last index of this batch is now on device
+                    done_through = idxs[-1]
+                    while (
+                        (next_stream_chunk + 1) * decode_batch - 1 <= done_through
+                        and next_stream_chunk in stores
+                        and next_stream_chunk not in legacy_chunks
+                    ):
+                        pending_decodes.append(
+                            decode_pool.submit(_decode_chunk, next_stream_chunk)
+                        )
+                        next_stream_chunk += 1
+
+        if decode_pool is not None:
+            for f in pending_decodes:
+                f.result()
+            decode_pool.shutdown(wait=True)
 
         # encode phase ends when the last prefix is materialized (programs
         # run in submission order; fence the LAST-written buffer)
@@ -845,88 +972,21 @@ class TracePipeline:
         if offload_vision:
             self._offload_vision()
 
-        if prewarm_thread is not None:
-            # compiles that did not finish inside the encode window block
-            # here — still strictly better than compiling serially
-            prewarm_thread.join()
-            kv_arena = prewarm_out.get("arena")
-
         t_decode0 = _time.perf_counter()
-        detok = lambda ids: self.tokenizer.decode(ids, skip_special_tokens=True)
-        results: list[EventPredictions] = []
-        prefill_s = 0.0
-        decode_loop_s = 0.0
-        for start in range(0, num_items, decode_batch):
-            chunk = list(range(start, min(start + decode_batch, num_items)))
-            c = start // decode_batch
-            B = len(chunk)
-            if c in stores:
-                prefix = stores.pop(c)
-                mask = np.stack([masks[i] for i in chunk])
-            else:
-                # bucket to 128 so the generate wrappers skip their own pad
-                L = max(prefixes[i].shape[0] for i in chunk)
-                L = max(128, ((L + 127) // 128) * 128)
-                rows = []
-                mask = np.zeros((B, L), bool)
-                for b, i in enumerate(chunk):
-                    pl = prefixes[i].shape[0]
-                    row = prefixes[i]
-                    if pl < L:  # left-pad on device
-                        row = jnp.pad(row, ((L - pl, 0), (0, 0)))
-                    rows.append(row)
-                    mask[b, L - pl :] = masks[i]
-                prefix = jnp.stack(rows)
-                # the stacked copy owns the data now; free the per-video
-                # device buffers before the decode program allocates
-                for i in chunk:
-                    prefixes.pop(i, None)
-                del rows
-            fids = jnp.asarray(np.stack([frame_ids[i] for i in chunk])) \
-                if constrain_time else None
-            gen_kwargs = dict(
-                max_new_tokens=max_new_tokens, initial_head=1,
-                temperature=temperature, eos_id=self.tokenizer.eos_token_id,
-                seed=seed, constrain_time=constrain_time, frame_time_ids=fids,
-            )
-            # one-element lists transfer ownership: generate frees the
-            # stacked prefix before its decode executable allocates
-            prefix_ref = [prefix]
-            del prefix
-            if prefill_batch and prefill_batch < B:
-                # serving split: prefill sub-batches write into one donated
-                # decode-batch cache; the decode executable returns the cache
-                # so donation aliases it (no 2+ GiB input copy — what used to
-                # block decode batch 24, benchmarks/decode_mem_probe.py)
-                out = gen.generate_split(
-                    self._decoder_params, self.config.decoder,
-                    prefix_ref, jnp.asarray(mask), self._combined,
-                    prefill_batch=prefill_batch, cache=kv_arena,
-                    time_phases=True, token_budget=token_budget,
-                    **gen_kwargs,
-                )
-                kv_arena = out.cache  # same physical buffer, recycled
-                if out.phase_times:
-                    prefill_s += out.phase_times["prefill_s"]
-                    decode_loop_s += out.phase_times["decode_s"]
-            else:
-                out = gen.generate(
-                    self._decoder_params, self.config.decoder,
-                    prefix_ref, jnp.asarray(mask), self._combined,
-                    **gen_kwargs,
-                )
-            for b in range(B):
-                ids = [int(t) for t in out.tokens[b] if t != gen.PAD_OUTPUT_ID]
-                results.append(decode_event_stream(
-                    ids, detok, text_vocab_size=self.config.decoder.vocab_size
-                ))
+        for c in range(-(-num_items // decode_batch)):
+            if c not in decoded_chunks:
+                _decode_chunk(c)
+        results = [results_by_idx[i] for i in range(num_items)]
         self.last_corpus_stats = {
             "encode_s": round(t_encode, 3),
-            "decode_s": round(_time.perf_counter() - t_decode0, 3),
+            "decode_s": round(
+                (decode_wall[0] if streamed_mode
+                 else _time.perf_counter() - t_decode0), 3),
+            "streamed": streamed_mode,
             # split-mode phase split (fenced between executables): the
             # in-program prefill otherwise masquerades as decode time
-            "prefill_s": round(prefill_s, 3),
-            "decode_loop_s": round(decode_loop_s, 3),
+            "prefill_s": round(_phase_acc[0], 3),
+            "decode_loop_s": round(_phase_acc[1], 3),
             "videos": num_items,
             # the real (max) spliced prefix length: video span + prompt.
             # Count True mask positions — len(mask) in split mode is the
