@@ -248,7 +248,18 @@ def main():
     # Corpus workload: N videos through the two-phase pipeline (encode all ->
     # offload vision tower -> batched decode). Decode batch falls back if the
     # KV cache does not fit next to the weights.
-    n_videos = args.videos * max(args.batch, 1)
+    # the 512-budget arena does not fit at batch 32 (see below) — decide
+    # the effective decode batch BEFORE sizing the corpus, so the corpus is
+    # a whole number of decode chunks (a ragged tail chunk decodes at a
+    # mismatched batch: fresh arena + separate executables)
+    eff_batch = max(args.batch, 1)
+    will_run_512_early = (
+        not args.small and args.decode_tokens < 512
+        and os.environ.get("TRACE_TPU_BENCH_512", "1") == "1"
+    )
+    if will_run_512_early and eff_batch >= 32 and not args.small:
+        eff_batch = 24
+    n_videos = args.videos * eff_batch
     ts = [[round(i * 1.7, 1)] for i in range(args.frames)]
     if args.streamed and n_videos > 32:
         # long streamed corpora: generate frames lazily in the producer
@@ -350,7 +361,7 @@ def main():
         )
 
     B = args.batch
-    if shared_budget and B >= 32 and not args.small:
+    if shared_budget and B >= 32 and not args.small:  # matches eff_batch
         # the 512-budget int8 arena at batch 32 is 6.45 GB — ~0.5 GB past
         # what fits next to 7 GB int8 weights + resident tower + encode
         # temps (measured OOM ladder 2026-08-17). Batch 24 (4.84 GB arena)
@@ -497,7 +508,9 @@ def main():
             # None if skipped/failed
             "videos_per_sec_512": vps_512,
             "compile_sec": round(compile_t, 1),
-            "streamed": bool(args.streamed),
+            # whether streaming actually engaged (requires split mode), not
+            # just the flag
+            "streamed": bool(stats.get("streamed", False)),
             "config": "tiny" if args.small else f"trace-7b-{args.quant}",
             "baseline_estimate": "V100 eval loop ~0.33 videos/s (see BENCH_NOTES.md)",
         },
