@@ -382,6 +382,9 @@ def main():
     while B >= 1:
         try:
             run_corpus(B)  # compile + warmup at this batch size
+            # feed the watchdog: long corpora + slow remote compiles can
+            # otherwise exceed the 900 s no-output stall window
+            print(f"warmup pass done ({time.perf_counter()-t0:.0f}s)", flush=True)
             break
         except Exception as e:
             attempts += 1
@@ -430,10 +433,12 @@ def main():
     best = None
     best_stats = {}
     pass_times = []
-    for _ in range(2):
+    for pi in range(2):
         t0 = time.perf_counter()
         run_corpus(B)
         dt = time.perf_counter() - t0
+        print(f"timed pass {pi+1}: {dt:.1f}s ({n_videos/dt:.3f} videos/s)",
+              flush=True)
         pass_times.append(round(dt, 3))
         if best is None or dt < best:
             best = dt
