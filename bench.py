@@ -41,12 +41,13 @@ def zero_params(config, quant: str = "bf16", vit_quant: str = None):
 
     def build(key):
         p = init_trace_params(config, key, dtype=config.dtype)
-        if quant in ("int8", "int4"):
+        if quant in ("int8", "int4", "int4p"):
             from trace_tpu.model.quantize import quantize_decoder_params
 
             p = dict(p)
             p["decoder"] = quantize_decoder_params(
-                p["decoder"], bits=8 if quant == "int8" else 4
+                p["decoder"], bits=8 if quant == "int8" else 4,
+                pack=(quant == "int4p"),
             )
         if vit_quant == "int8":
             from trace_tpu.model.quantize import quantize_vision_params
@@ -161,7 +162,7 @@ def main():
                     "(32 fits since the decode cache aliases its donated "
                     "input; falls back by halving on OOM)")
     ap.add_argument("--small", action="store_true", help="tiny config smoke run")
-    ap.add_argument("--quant", choices=["bf16", "int8", "int4"], default="int8",
+    ap.add_argument("--quant", choices=["bf16", "int8", "int4", "int4p"], default="int8",
                     help="int8 = weight-only quantized serving config "
                          "(see BENCH_NOTES.md quality caveat)")
     ap.add_argument("--vit", choices=["bf16", "int8"], default="bf16",
@@ -213,7 +214,7 @@ def main():
         args.frames = config.num_frames
         args.decode_tokens = min(args.decode_tokens, 32)
     else:
-        int8 = args.quant == "int8"  # int4 is weight-only: no W8A8 acts
+        int8 = args.quant == "int8"  # int4/int4p are weight-only: no W8A8 acts
         vit8 = args.vit == "int8"
         config = TraceConfig(
             # act_quant: W8A8 (dynamic per-token int8 activations) on prefill

@@ -249,3 +249,79 @@ class TestInt4:
         import ml_dtypes
 
         assert q["layers"]["wq"]["q"].dtype == ml_dtypes.int4
+
+
+class TestInt4Packed:
+    """Nibble-packed int4 ('int4p'): plain-int8 storage of 4-bit weights."""
+
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        from trace_tpu.model.quantize import pack4, unpack4
+
+        q = jnp.asarray(rng.integers(-7, 8, (2, 16, 6)), jnp.int8)
+        np.testing.assert_array_equal(np.asarray(unpack4(pack4(q))), np.asarray(q))
+
+    def test_quant_matmul_p4_interpret_matches_unpacked(self):
+        from trace_tpu.kernels.quant_matmul import quant_matmul_p4
+        from trace_tpu.model.quantize import unpack4
+
+        rng = np.random.default_rng(1)
+        M, K, N = 10, 64, 48
+        x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+        qp = jnp.asarray(rng.integers(-128, 128, (K // 2, N)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.01, 0.1, (N,)), jnp.float32)
+        want = (x @ unpack4(qp).astype(jnp.float32)) * s[None]
+        got = quant_matmul_p4(x, qp, s, out_dtype=jnp.float32, interpret=True,
+                              bm=8, bn=16, bk=16)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_decoder_forward_int4p_matches_int4(self):
+        """Packed storage holds the SAME quantized values as jnp.int4 mode;
+        the tiny decoder must produce identical logits through both."""
+        import dataclasses
+
+        from trace_tpu.model.config import DecoderConfig
+        from trace_tpu.model.mistral import init_decoder_params, decoder_forward
+        from trace_tpu.model.quantize import quantize_decoder_params
+
+        cfg = dataclasses.replace(DecoderConfig.tiny(), act_quant=False)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(2))
+        p_i4 = dict(params)
+        p_i4["layers"] = quantize_decoder_params(params, bits=4)["layers"]
+        p_p4 = dict(params)
+        p_p4["layers"] = quantize_decoder_params(params, bits=4, pack=True)["layers"]
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 6, cfg.hidden_size)) * 0.1
+        x = x.astype(jnp.float32)
+        mask = jnp.ones((2, 6), bool)
+        pos = jnp.arange(6)[None].repeat(2, 0)
+        h4, _ = decoder_forward(p_i4, cfg, x, mask, pos)
+        hp, _ = decoder_forward(p_p4, cfg, x, mask, pos)
+        np.testing.assert_allclose(
+            np.asarray(h4, np.float32), np.asarray(hp, np.float32),
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_host_pack_matches_device_pack(self):
+        from trace_tpu.model.config import DecoderConfig
+        from trace_tpu.model.mistral import init_decoder_params
+        from trace_tpu.model.quantize import (
+            quantize_decoder_params,
+            quantize_decoder_params_host,
+        )
+
+        cfg = DecoderConfig.tiny()
+        params = init_decoder_params(cfg, jax.random.PRNGKey(4))
+        dev = quantize_decoder_params(params, bits=4, pack=True)
+        host_in = jax.tree.map(np.asarray, params)
+        host = quantize_decoder_params_host(host_in, bits=4, pack=True)
+        for name in ("wq", "wo", "w_down"):
+            np.testing.assert_array_equal(
+                np.asarray(dev["layers"][name]["qp"]),
+                np.asarray(host["layers"][name]["qp"]),
+            )
+            np.testing.assert_allclose(
+                np.asarray(dev["layers"][name]["s"], np.float32),
+                np.asarray(host["layers"][name]["s"], np.float32),
+            )

@@ -42,6 +42,90 @@ def _qmm_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
         )
 
 
+def _qmm_p4_kernel(x1_ref, x2_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    """Nibble-packed int4 matmul tile: one packed int8 byte carries weight
+    rows k (low nibble) and k + K/2 (high nibble) — halves the HBM weight
+    bytes the bandwidth-bound decode step streams (vs int8).  The unpack
+    (shift + sign-extend) happens per VMEM tile on the VPU; the dots run
+    bf16 on the MXU."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x1 = x1_ref[:]                       # [bm, bk] rows [0, K/2)
+    x2 = x2_ref[:]                       # [bm, bk] rows [K/2, K)
+    w8 = q_ref[:]                        # [bk, bn] packed int8
+    lo = (jnp.left_shift(w8, 4) >> 4).astype(x1.dtype)
+    hi = (w8 >> 4).astype(x1.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        x1, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        x2, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0].astype(jnp.float32)[None, :]).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret")
+)
+def quant_matmul_p4(
+    x: jax.Array,    # [M, K] bf16/f32
+    qp: jax.Array,   # [K/2, N] nibble-packed int8 (see quantize.pack4)
+    s: jax.Array,    # [N] per-output-channel scale
+    *,
+    out_dtype=None,
+    bm: int = 1024,
+    bn: int = 512,
+    bk: int = 512,   # K/2-block
+    interpret: bool = False,
+) -> jax.Array:
+    """y[M, N] = (x @ unpack4(qp)) * s with tile-local unpack+dequant."""
+    M, K = x.shape
+    Kh, N = qp.shape
+    assert K == 2 * Kh, (x.shape, qp.shape)
+    out_dtype = out_dtype or x.dtype
+    s = jnp.reshape(s, (-1,))
+    assert s.shape[0] == N, (s.shape, N)
+
+    bm = min(bm, -(-M // 8) * 8)
+    bn = min(bn, N)
+    bk = min(bk, Kh)
+
+    x1 = _pad_dim(_pad_dim(x[:, :Kh], 0, bm), 1, bk)
+    x2 = _pad_dim(_pad_dim(x[:, Kh:], 0, bm), 1, bk)
+    qpp = _pad_dim(_pad_dim(qp, 0, bk), 1, bn)
+    sp = _pad_dim(s[None, :], 1, bn)
+    Mp, Kp = x1.shape
+    Np = qpp.shape[1]
+    nm, nn, nk = Mp // bm, Np // bn, Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_p4_kernel, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(x1, x2, qpp, sp)
+    return out[:M, :N]
+
+
 def _pad_dim(x, axis, mult):
     size = x.shape[axis]
     target = -(-size // mult) * mult
@@ -298,6 +382,35 @@ def quant_apply(
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
+    if isinstance(leaf, dict) and "qp" in leaf:
+        # nibble-packed int4 (quantize.is_packed4): tile-local unpack in the
+        # Pallas kernel halves the weight HBM bytes of the decode step; the
+        # XLA fallback (CPU/tests, or TRACE_TPU_QMM=xla) unpacks explicitly
+        import os
+
+        qp = leaf["qp"].reshape(K // 2, -1)
+        s = leaf["s"].reshape(-1)
+        use_pallas = (
+            os.environ.get("TRACE_TPU_QMM_P4", "pallas") == "pallas"
+            and jax.default_backend() != "cpu"
+        )
+        if use_pallas:
+            try:
+                y = quant_matmul_p4(
+                    x2, qp, s, out_dtype=out_dtype or x.dtype,
+                    interpret=interpret,
+                )
+                return y.reshape(lead + out_shape)
+            except Exception:
+                pass
+        from trace_tpu.model.quantize import unpack4
+
+        acc = jax.lax.dot_general(
+            x2, unpack4(qp).astype(x2.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = (acc * s.astype(jnp.float32)[None, :]).astype(out_dtype or x.dtype)
+        return y.reshape(lead + out_shape)
     if isinstance(leaf, dict):
         q = leaf["q"].reshape(K, -1)
         s = leaf["s"].reshape(-1)

@@ -205,6 +205,7 @@ def _layer(
         config.act_quant
         and (T > 1 or _os.environ.get("TRACE_TPU_DECODE_W8A8", "0") == "1")
         and is_quantized(lp["wq"])
+        and "q" in lp["wq"]   # nibble-packed int4 has no s8xs8 MXU path
         and lp["wq"]["q"].dtype == jnp.int8
     )
     if w8a8:
@@ -326,7 +327,8 @@ def _layer(
         attn_out = quant_apply(attn_flat, lp["wo"], (D,), interpret=interp)
         x = x + attn_out
         h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
-        I = lp["w_gate"]["q"].shape[-1]
+        g = lp["w_gate"]
+        I = (g["q"] if "q" in g else g["qp"]).shape[-1]
         gate = quant_apply(h, lp["w_gate"], (I,), out_dtype=jnp.float32, interpret=interp)
         up = quant_apply(h, lp["w_up"], (I,), out_dtype=jnp.float32, interpret=interp)
         act = (jax.nn.silu(gate) * up).astype(x.dtype)
@@ -475,7 +477,8 @@ def _stacked_decode_ok(params: dict, config: DecoderConfig, T: int, cache) -> bo
         return False
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
         leaf = layers.get(name)
-        if not is_quantized(leaf) or leaf["q"].dtype != jnp.int8:
+        if (not is_quantized(leaf) or "q" not in leaf
+                or leaf["q"].dtype != jnp.int8):
             return False
     # the pallas decode-attention kernel must be eligible too (same shapes)
     leaf = cache["kq"] if isinstance(cache, dict) else cache[0]

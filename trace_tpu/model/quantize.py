@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...], bits: int = 8):
+def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...], bits: int = 8, qdtype=None):
     """Symmetric intN over the given axes; scale keeps the other axes.
 
     bits=4 stores jnp.int4 (range +-7; XLA packs 2 values/byte in TPU HBM —
@@ -31,7 +31,8 @@ def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...], bits: int = 8):
     the weight bytes of int8 for the HBM-bandwidth-bound decode phase, at
     per-channel 4-bit quality."""
     qmax = 127 if bits == 8 else 7
-    qdtype = jnp.int8 if bits == 8 else jnp.int4
+    if qdtype is None:
+        qdtype = jnp.int8 if bits == 8 else jnp.int4
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=reduce_axes, keepdims=True)
     scale = jnp.maximum(amax / qmax, 1e-8)
@@ -40,33 +41,93 @@ def _quantize_axis(w: jax.Array, reduce_axes: tuple[int, ...], bits: int = 8):
 
 
 def is_quantized(leaf) -> bool:
-    return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
+    return isinstance(leaf, dict) and set(leaf.keys()) in (
+        {"q", "s"}, {"qp", "s"}
+    )
+
+
+def is_packed4(leaf) -> bool:
+    """Nibble-packed int4: two 4-bit weights per int8 byte along the
+    contraction dim (low nibble = rows [0, K/2), high = [K/2, K)).
+
+    Exists because (a) the dev tunnel's jax client cannot touch jnp.int4
+    arrays at all (BENCH_NOTES) and (b) a packed-int8 representation keeps
+    4-bit weights usable on any backend without relying on XLA's native
+    int4 HBM packing.  Stored pre-flattened as [.., K/2, N] (the
+    quant_apply [K, N] view), so the kernel needs no layout knowledge."""
+    return isinstance(leaf, dict) and "qp" in leaf
+
+
+def unpack4(qp: jax.Array) -> jax.Array:
+    """[.., K/2, N] packed int8 -> [.., K, N] int8 in [-8, 7]."""
+    lo = jnp.left_shift(qp, 4) >> 4   # sign-extend the low nibble
+    hi = qp >> 4                      # arithmetic shift: high nibble
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def pack4(q4: jax.Array) -> jax.Array:
+    """[.., K, N] int4-valued ints -> [.., K/2, N] packed int8."""
+    K = q4.shape[-2]
+    assert K % 2 == 0, q4.shape
+    lo = q4[..., : K // 2, :].astype(jnp.int32)
+    hi = q4[..., K // 2 :, :].astype(jnp.int32)
+    return ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8).view(jnp.int8)
 
 
 def dequantize(leaf, dtype=jnp.bfloat16) -> jax.Array:
+    if is_packed4(leaf):
+        # returns the FLATTENED [.., K, N] view (packing flattens the
+        # original einsum axes); consumers are quant_apply-shaped
+        return (unpack4(leaf["qp"]).astype(jnp.bfloat16) * leaf["s"]).astype(dtype)
     if is_quantized(leaf):
         return (leaf["q"].astype(jnp.bfloat16) * leaf["s"]).astype(dtype)
     return leaf
 
 
-def quantize_decoder_params(params: dict, bits: int = 8) -> dict:
+_DECODER_REDUCE = {
+    "wq": (1,), "wk": (1,), "wv": (1,),   # [L, D, NH, hd]
+    "wo": (1, 2),                          # [L, NH, hd, D]
+    "w_gate": (1,), "w_up": (1,),          # [L, D, I]
+    "w_down": (1,),                        # [L, I, D]
+}
+
+
+def _pack_leaf4(leaf: dict, reduce_axes: tuple) -> dict:
+    """int4-valued {'q','s'} -> nibble-packed {'qp','s'} in the flattened
+    [L, K, N] view quant_apply uses (K = the reduce dims, N = the rest).
+    Assumes the reduce axes are contiguous and leading (after L) — true for
+    every decoder weight in _DECODER_REDUCE."""
+    q, s = leaf["q"], leaf["s"]
+    L = q.shape[0]
+    K = 1
+    for a in reduce_axes:
+        K *= q.shape[a]
+    q3 = q.astype(jnp.int8).reshape(L, K, -1)
+    return {"qp": pack4(q3), "s": s.astype(jnp.bfloat16).reshape(L, 1, -1)}
+
+
+def quantize_decoder_params(params: dict, bits: int = 8, pack: bool = False) -> dict:
     """int8/int4-quantize the decoder's large matmul weights.
 
     Layer stacks quantize per (layer, output-channel); attention projections
     reduce over the input dim; heads and the embedding stay bf16 (gathers and
-    fp32 logits want full precision rows).
+    fp32 logits want full precision rows).  ``pack`` (bits=4 only) stores
+    nibble-packed int8 instead of jnp.int4 (see is_packed4).
     """
     out = dict(params)
     layers = dict(params["layers"])
 
     # reduce over the *input* dims; keep (L, out...) in the scale
-    layers["wq"] = _quantize_axis(layers["wq"], (1,), bits)      # [L, D, NH, hd]
-    layers["wk"] = _quantize_axis(layers["wk"], (1,), bits)
-    layers["wv"] = _quantize_axis(layers["wv"], (1,), bits)
-    layers["wo"] = _quantize_axis(layers["wo"], (1, 2), bits)    # [L, NH, hd, D]
-    layers["w_gate"] = _quantize_axis(layers["w_gate"], (1,), bits)  # [L, D, I]
-    layers["w_up"] = _quantize_axis(layers["w_up"], (1,), bits)
-    layers["w_down"] = _quantize_axis(layers["w_down"], (1,), bits)  # [L, I, D]
+    for name, axes in _DECODER_REDUCE.items():
+        leaf = _quantize_axis(
+            layers[name], axes, bits,
+            # packed mode never materializes a jnp.int4 array (the dev
+            # tunnel's client dies on ANY int4 op — BENCH_NOTES)
+            qdtype=jnp.int8 if (bits == 4 and pack) else None,
+        )
+        if bits == 4 and pack:
+            leaf = _pack_leaf4(leaf, axes)
+        layers[name] = leaf
 
     out["layers"] = layers
     # the lm_head feeds fp32 logits; keep it int8 even in 4-bit mode
@@ -101,12 +162,13 @@ def quantize_trace_params(params: dict, *, vision: bool = True) -> dict:
 # where subsequent programs fail; checkpoint conversion quantizes on host
 # instead, and only int8 tensors ever reach the device.
 
-def _quantize_axis_np(w, reduce_axes: tuple[int, ...], bits: int = 8):
+def _quantize_axis_np(w, reduce_axes: tuple[int, ...], bits: int = 8,
+                      plain_int8: bool = False):
     import ml_dtypes
     import numpy as np
 
     qmax = 127 if bits == 8 else 7
-    qdtype = np.int8 if bits == 8 else ml_dtypes.int4
+    qdtype = np.int8 if (bits == 8 or plain_int8) else ml_dtypes.int4
     wf = np.asarray(w, np.float32)
     amax = np.max(np.abs(wf), axis=reduce_axes, keepdims=True)
     scale = np.maximum(amax / qmax, 1e-8)
@@ -114,17 +176,36 @@ def _quantize_axis_np(w, reduce_axes: tuple[int, ...], bits: int = 8):
     return {"q": q, "s": scale.astype(ml_dtypes.bfloat16)}
 
 
-def quantize_decoder_params_host(params: dict, bits: int = 8) -> dict:
+def _pack_leaf4_np(leaf: dict, reduce_axes: tuple) -> dict:
+    import ml_dtypes
+    import numpy as np
+
+    q, s = leaf["q"], leaf["s"]
+    L = q.shape[0]
+    K = 1
+    for a in reduce_axes:
+        K *= q.shape[a]
+    q3 = np.asarray(q, np.int8).reshape(L, K, -1)
+    lo = q3[:, : K // 2].astype(np.uint8) & 0xF
+    hi = (q3[:, K // 2 :].astype(np.uint8) & 0xF) << 4
+    qp = (lo | hi).view(np.int8)
+    return {
+        "qp": qp,
+        "s": np.asarray(s, ml_dtypes.bfloat16).reshape(L, 1, -1),
+    }
+
+
+def quantize_decoder_params_host(params: dict, bits: int = 8,
+                                 pack: bool = False) -> dict:
     """numpy-in / numpy-out variant of :func:`quantize_decoder_params`."""
     out = dict(params)
     layers = dict(params["layers"])
-    layers["wq"] = _quantize_axis_np(layers["wq"], (1,), bits)
-    layers["wk"] = _quantize_axis_np(layers["wk"], (1,), bits)
-    layers["wv"] = _quantize_axis_np(layers["wv"], (1,), bits)
-    layers["wo"] = _quantize_axis_np(layers["wo"], (1, 2), bits)
-    layers["w_gate"] = _quantize_axis_np(layers["w_gate"], (1,), bits)
-    layers["w_up"] = _quantize_axis_np(layers["w_up"], (1,), bits)
-    layers["w_down"] = _quantize_axis_np(layers["w_down"], (1,), bits)
+    for name, axes in _DECODER_REDUCE.items():
+        leaf = _quantize_axis_np(layers[name], axes, bits,
+                                 plain_int8=(bits == 4 and pack))
+        if bits == 4 and pack:
+            leaf = _pack_leaf4_np(leaf, axes)
+        layers[name] = leaf
     out["layers"] = layers
     out["lm_head"] = _quantize_axis_np(params["lm_head"], (0,))
     return out

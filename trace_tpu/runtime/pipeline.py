@@ -1021,12 +1021,18 @@ def model_init(
     params, config = convert_trace_checkpoint(
         model_path, dtype=dtype, vision_path=vision_path
     )
-    if quant in ("int8", "int4"):
+    if quant in ("int8", "int4", "int4p"):
         from trace_tpu.model.quantize import quantize_decoder_params_host
 
         bits = 8 if quant == "int8" else 4
         params = dict(params)
-        params["decoder"] = quantize_decoder_params_host(params["decoder"], bits)
+        # int4p = nibble-packed 4-bit (two weights per int8 byte): identical
+        # quantized values to int4, but stored as plain int8 arrays so it
+        # runs through jax clients without native int4 support and through
+        # the Pallas tile-local unpack matmul (kernels/quant_matmul.py)
+        params["decoder"] = quantize_decoder_params_host(
+            params["decoder"], bits, pack=(quant == "int4p")
+        )
         config = dataclasses.replace(
             config,
             decoder=dataclasses.replace(
