@@ -96,7 +96,7 @@ def head_states_from_stream(config, tokens: np.ndarray, initial_head: int = 1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["bf16", "int8", "int4"], default=None)
+    ap.add_argument("--phase", choices=["bf16", "int8", "int4", "int4p"], default=None)
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--tokens", type=int, default=1024)
     ap.add_argument("--prefix", type=int, default=256)
@@ -141,6 +141,8 @@ def main():
         params = quantize_decoder_params_host(params, bits=8)
     elif args.phase == "int4":
         params = quantize_decoder_params_host(params, bits=4)
+    elif args.phase == "int4p":
+        params = quantize_decoder_params_host(params, bits=4, pack=True)
     print(f"host params in {time.time() - t0:.1f}s", flush=True)
 
     # combined input-embedding table + prefix embeds, shared across phases
@@ -247,7 +249,7 @@ def report(tag: str):
     out = {}
     ref_path = os.path.join(OUT_DIR, f"tokens_{tag}_bf16.npy")
     ref = np.load(ref_path) if os.path.exists(ref_path) else None
-    for phase in ("int8", "int4"):
+    for phase in ("int8", "int4", "int4p"):
         entry = {}
         tp = os.path.join(OUT_DIR, f"tokens_{tag}_{phase}.npy")
         if ref is not None and os.path.exists(tp):

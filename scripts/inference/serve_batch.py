@@ -49,7 +49,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--max-new-tokens", type=int, default=512)
-    ap.add_argument("--quant", choices=["bf16", "int8", "int4"], default="int8")
+    ap.add_argument("--quant", choices=["bf16", "int8", "int4", "int4p"], default="int8")
     ap.add_argument("--constrain-time", action="store_true",
                     help="trace-retrieval timestamp constraint")
     ap.add_argument("--max-side", type=int, default=672,

@@ -238,7 +238,7 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=512)
     ap.add_argument("--debug", action="store_true", help="first 10 samples")
     ap.add_argument("--sample-num", type=int, default=0)
-    ap.add_argument("--quant", choices=["bf16", "int8", "int4"], default="bf16",
+    ap.add_argument("--quant", choices=["bf16", "int8", "int4", "int4p"], default="bf16",
                     help="int8 = weight-only serving quantization "
                          "(decode batch 32 on one chip; quality caveat in "
                          "BENCH_NOTES.md)")
