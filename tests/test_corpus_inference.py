@@ -164,3 +164,46 @@ def test_streamed_corpus_matches_two_phase():
         assert a.timestamps == b.timestamps
         assert a.captions == b.captions
         assert a.scores == b.scores
+
+
+def test_streamed_decode_failure_propagates():
+    """An exception in the streamed decode worker must surface to the
+    caller (the bench OOM-fallback ladder depends on it) instead of
+    deadlocking the encode loop."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from trace_tpu.model.config import TraceConfig
+    from trace_tpu.model.trace_model import init_trace_params
+    from trace_tpu.runtime import generate as gen
+    from trace_tpu.runtime.pipeline import TracePipeline
+    from trace_tpu.tokenizers.text import ByteTokenizer
+
+    cfg = TraceConfig.tiny()
+    pipe = TracePipeline(
+        params=init_trace_params(cfg, jax.random.PRNGKey(1)),
+        config=cfg, tokenizer=ByteTokenizer(),
+    )
+    T = cfg.num_frames
+    vids = [np.zeros((T, 40, 56, 3), np.uint8) for _ in range(6)]
+    ts = [[float(i)] for i in range(T)]
+
+    def load_item(i):
+        return vids[i], ts, "q"
+
+    orig = gen.generate_split
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic decode failure")
+
+    gen.generate_split = boom
+    try:
+        with pytest.raises(RuntimeError, match="synthetic decode failure"):
+            pipe.infer_events_corpus(
+                load_item, 6, encode_batch=2, decode_batch=3, prefill_batch=1,
+                max_new_tokens=6, offload_vision=False, streamed=True,
+                prewarm_compiles=False,
+            )
+    finally:
+        gen.generate_split = orig
