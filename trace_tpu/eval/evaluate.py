@@ -38,6 +38,7 @@ def run_vtg_eval(
     *,
     num_frames: int = 128,
     batch_size: int = 4,
+    streamed: bool = False,
     max_new_tokens: int = 512,
     prompt_text: Optional[str] = None,
     progress: bool = True,
@@ -106,6 +107,7 @@ def run_vtg_eval(
             load_item, len(goods),
             encode_batch=min(2, batch_size), decode_batch=batch_size,
             max_new_tokens=max_new_tokens, constrain_time=constrain_time,
+            streamed=streamed,
         )
         for i, (it, p) in enumerate(zip(goods, preds)):
             if i in decode_failed:
@@ -242,6 +244,9 @@ def main():
                     help="int8 = weight-only serving quantization "
                          "(decode batch 32 on one chip; quality caveat in "
                          "BENCH_NOTES.md)")
+    ap.add_argument("--streamed", action="store_true",
+                    help="pipelined serving: decode completed chunks while "
+                         "later chunks encode (split mode only)")
     ap.add_argument("--constrain-time", action="store_true",
                     help="trace-retrieval: constrain time-head decoding to "
                          "the input frame timestamps")
@@ -273,6 +278,7 @@ def main():
         num_frames=args.num_frames, batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
         constrain_time=args.constrain_time,
+        streamed=args.streamed,
     )
 
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
