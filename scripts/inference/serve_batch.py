@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--max-new-tokens", type=int, default=512)
     ap.add_argument("--quant", choices=["bf16", "int8", "int4", "int4p"], default="int8")
+    ap.add_argument("--streamed", action="store_true",
+                    help="decode completed chunks while later chunks encode")
     ap.add_argument("--constrain-time", action="store_true",
                     help="trace-retrieval timestamp constraint")
     ap.add_argument("--max-side", type=int, default=672,
@@ -96,6 +98,7 @@ def main():
         decode_batch=args.batch,
         max_new_tokens=args.max_new_tokens,
         constrain_time=args.constrain_time,
+        streamed=args.streamed,
     )
     dt = time.perf_counter() - t0
 
