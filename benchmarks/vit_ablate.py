@@ -43,17 +43,28 @@ def main():
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--vit-int8", action="store_true",
+                    help="W8A8 int8 tower (s8xs8 MXU dots). Re-test with the "
+                         "btd attention: the old in-context loss was layout "
+                         "overhead this kernel removed")
     args = ap.parse_args()
 
     from trace_tpu.model import vit as vit_mod
     from trace_tpu.model.config import VisionConfig
     from trace_tpu.model.vit import init_vit_params, vit_forward
 
-    cfg = VisionConfig()
+    cfg = VisionConfig(act_quant=args.vit_int8)
     S = cfg.image_size
-    shapes = jax.eval_shape(
-        lambda k: init_vit_params(cfg, k, dtype=jnp.bfloat16), jax.random.PRNGKey(0)
-    )
+
+    def build(k):
+        p = init_vit_params(cfg, k, dtype=jnp.bfloat16)
+        if args.vit_int8:
+            from trace_tpu.model.quantize import quantize_vision_params
+
+            p = quantize_vision_params(p)
+        return p
+
+    shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
     T, chunk = args.frames, args.chunk
     frames = jnp.zeros((T, S, S, 3), jnp.bfloat16)
