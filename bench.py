@@ -91,7 +91,30 @@ def watchdog_main() -> int:
         except Exception:
             return None
 
+    def tunnel_alive(timeout_s: int = 90) -> bool:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
     for attempt in range(attempts):
+        if attempt > 0:
+            # a killed child can leave the relay wedged for many minutes
+            # (fresh processes then hang before jax.devices() returns) —
+            # spending retry attempts against the wedge guarantees failure.
+            # Probe until the tunnel answers, up to ~20 min.
+            for probe in range(10):
+                if tunnel_alive():
+                    break
+                print(
+                    f"bench watchdog: tunnel unresponsive, waiting "
+                    f"({probe + 1}/10)", file=sys.stderr, flush=True,
+                )
+                time.sleep(120)
         # new session: the OOM-fallback path re-execs a GRANDCHILD
         # (subprocess.run at a smaller batch); child.kill() alone would
         # orphan a hung grandchild that keeps the chip wedged through every
