@@ -309,7 +309,7 @@ def main():
         from trace_tpu.runtime import generate as gen
 
         pipe._prepare_memory_layout()
-        s = pipe._prepare_sample_host(frames_all[0], ts, instruction)
+        s = pipe._prepare_sample_host(load_item(0)[0], ts, instruction)
         prefix, mask = pipe._encode_prepared([s])
         prefix_b = jnp.broadcast_to(prefix, (args.batch,) + prefix.shape[1:])
         mask_b = jnp.broadcast_to(mask, (args.batch,) + mask.shape[1:])
@@ -343,10 +343,7 @@ def main():
     # KV arena for 512 up front: both passes then share ONE compiled decode
     # loop (a traced max_steps stops the 256 pass early) and one arena —
     # no second compile, no arena-residue OOM, same decode batch for both
-    will_run_512 = (
-        not args.small and args.decode_tokens < 512
-        and os.environ.get("TRACE_TPU_BENCH_512", "1") == "1"
-    )
+    will_run_512 = will_run_512_early  # single source (corpus was sized by it)
     shared_budget = 512 if will_run_512 else None
 
     def run_corpus(decode_batch: int, max_new_tokens: int = None):
@@ -481,7 +478,7 @@ def main():
         # means the arena and decode executable are ALREADY the 512 shapes
         # (before budget sharing this had to drop to batch 16 — the L+512
         # cache could not allocate next to the 256-pass arena's residue)
-        b512 = B if B > 8 else min(B, 16)
+        b512 = B
         try:
             t0 = time.perf_counter()
             run_corpus(b512, max_new_tokens=512)

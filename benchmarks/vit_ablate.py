@@ -5,13 +5,12 @@ the other ~240 ms lives by swapping individual components for near-free
 stand-ins and differencing full-program times (dispatch latency through the
 tunnel cancels in the difference):
 
-  full        the production path (chunk 16, flash attention)
+  full        the production path (chunk 16, btd attention kernel)
   noflash     XLA einsum attention instead of the Pallas kernel
-  blockq      flash with block_q=128 (Tq pad 640 instead of 768)
+  blockq      the OLD generic flash kernel (pre-btd comparison point)
   noattn      attention -> identity (keeps QKV/O matmuls)
   noln        both LayerNorms -> identity
   nogelu      quick_gelu -> identity
-  nosoftmax   scores -> scores * 1e-4 (keeps dots, drops softmax VPU work)
 
     python benchmarks/vit_ablate.py [--frames 128] [--chunk 16]
 """
@@ -93,6 +92,7 @@ def main():
     orig_layer_norm = vit_mod.layer_norm
     orig_gelu = vit_mod.quick_gelu
     orig_flash = fa.flash_attention
+    orig_btd = vit_mod._btd_attention
 
     variants = {}
 
@@ -107,24 +107,32 @@ def main():
     variants["noflash"] = noflash
 
     def blockq():
-        def f128(q, k, v, mask_bias=None, *, causal=False, **kw):
-            return orig_flash(q, k, v, mask_bias, causal=causal, block_q=128)
-        fa.flash_attention = f128
+        # the pre-btd path: head-split transpose + generic flash kernel
+        def old_path(q, k, v, config, tq):
+            B, T, D = q.shape
+            NH = config.num_heads
+            HD = D // NH
+            qh = q.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+            o = orig_flash(qh, kh, vh, causal=False)
+            return o.transpose(0, 2, 1, 3).reshape(B, T, D)
+        vit_mod._btd_attention = old_path
         try:
-            return timed("blockq128", True)
+            return timed("oldflash", True)
         finally:
-            fa.flash_attention = orig_flash
+            vit_mod._btd_attention = orig_btd
 
     variants["blockq"] = blockq
 
     def noattn():
-        def ident(q, k, v, mask_bias=None, *, causal=False, **kw):
+        def ident(q, k, v, config, tq):
             return v
-        fa.flash_attention = ident
+        vit_mod._btd_attention = ident
         try:
             return timed("noattn", True)
         finally:
-            fa.flash_attention = orig_flash
+            vit_mod._btd_attention = orig_btd
 
     variants["noattn"] = noattn
 

@@ -8,9 +8,9 @@
   protocol (metrics/meteor.py:39-65); the jar is a missing large blob even in
   the reference checkout (.MISSING_LARGE_BLOBS:3).  We keep the same
   subprocess wrapper when a jar + JRE are available and otherwise fall back
-  to a documented unigram-F-mean approximation so the pipeline runs
-  everywhere (fallback scores are labeled, not comparable to published
-  METEOR).
+  to a native METEOR (real stage-wise alignment + fragmentation penalty,
+  metrics/meteor_align.py) so the pipeline runs everywhere; fallback scores
+  stay labeled `approximate` (no synonym/paraphrase data modules here).
 * PTB tokenizer: pure-python approximation of the Stanford corenlp
   PTBTokenizer subprocess (metrics/ptbtokenizer.py) — lowercase, split
   punctuation, drop the same punctuation list.  Deterministic and testable;
@@ -197,12 +197,12 @@ class MeteorFallback:
             score_from_stats,
             sentence_meteor,
         )
-        from nltk.stem.porter import PorterStemmer
+        from trace_tpu.metrics.meteor_align import _porter
 
         self._params = params or NLTK_PARAMS
         self._sentence = sentence_meteor
         self._from_stats = score_from_stats
-        self._stemmer = PorterStemmer()
+        self._stemmer = _porter()
 
     def compute_score(self, gts: Mapping, res: Mapping):
         from trace_tpu.metrics.meteor_align import SegmentStats
@@ -245,7 +245,7 @@ def make_meteor():
     except MeteorUnavailable:
         print(
             "WARNING: meteor-1.5.jar not available (set METEOR_JAR + a JRE) — "
-            "using the unigram-F approximation. METEOR and SODA_c values in "
+            "using the native exact+stem alignment METEOR. Values in "
             "this run are NOT comparable to published numbers "
             "(outputs carry meteor_is_approximate=True).",
             file=sys.stderr,

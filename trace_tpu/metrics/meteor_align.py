@@ -45,9 +45,16 @@ __all__ = [
 ]
 
 
-def _porter():
-    from nltk.stem.porter import PorterStemmer  # pure code, no corpora
+class _IdentityStemmer:
+    def stem(self, w):
+        return w
 
+
+def _porter():
+    try:
+        from nltk.stem.porter import PorterStemmer  # pure code, no corpora
+    except ImportError:  # no nltk: exact-match-only METEOR (still the real
+        return _IdentityStemmer()  # alignment/penalty, minus the stem stage)
     return PorterStemmer()
 
 

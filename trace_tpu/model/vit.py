@@ -151,9 +151,14 @@ def _btd_attention(q, k, v, config: VisionConfig, tq: int):
 
     nh = config.num_heads
     hd = q.shape[-1] // nh
-    # the kernel wants 128-lane head-pair blocks and a sublane-aligned P;
-    # tiny test configs (and CPU) take the XLA reference
-    if nh % 2 == 0 and (2 * hd) % 128 == 0 and q.shape[1] % 16 == 0:
+    # the kernel wants 128-lane head-pair blocks, a sublane-aligned P, and a
+    # TPU backend (Mosaic failures surface at the OUTER jit's compile, which
+    # a try/except here cannot catch — route deterministically instead);
+    # tiny test configs and CPU take the XLA reference
+    if (
+        nh % 2 == 0 and (2 * hd) % 128 == 0 and q.shape[1] % 16 == 0
+        and jax.default_backend() != "cpu"
+    ):
         try:
             return vit_attention_btd(q, k, v, tq=tq, num_heads=nh)
         except Exception:

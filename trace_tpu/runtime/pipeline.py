@@ -713,8 +713,11 @@ class TracePipeline:
             if prewarm_thread is not None:
                 prewarm_thread.join()
                 prewarm_thread = None
-                arena_box["a"] = prewarm_out.get("arena")
-            elif arena_box["a"] is None:
+                # never clobber a live (donation-recycled) arena — a failed
+                # prewarm publishes None and the decode path re-allocates
+                if arena_box["a"] is None:
+                    arena_box["a"] = prewarm_out.get("arena")
+            elif arena_box["a"] is None and kv_arena is not None:
                 arena_box["a"] = kv_arena
                 kv_arena = None
 
@@ -843,6 +846,7 @@ class TracePipeline:
         )
         pending_decodes: list = []
         next_stream_chunk = 0
+        arena_started = False  # the arena (or its prewarm) exists exactly once
 
         # producer threads run host decode + cv2 downscale/I420 (~0.3 s of
         # host CPU per video; cv2 and device_put release the GIL) and the
@@ -854,11 +858,11 @@ class TracePipeline:
             ]
             next_submit = prefetch_batches
             for bi in range(len(batches)):
-                if decode_pool is not None and len(pending_decodes) >= 2:
+                while decode_pool is not None and len(pending_decodes) >= 2:
                     pending_decodes.pop(0).result()  # backpressure
                 prepared = futures[bi].result()
-                if (kv_arena is None and split_mode
-                        and prewarm_thread is None and arena_box["a"] is None):
+                if kv_arena is None and split_mode and not arena_started:
+                    arena_started = True
                     # grab the decode-batch KV arena NOW, before the first
                     # encode program runs: the 2+ GiB contiguous K/V arrays
                     # stop fitting once prefix/frame buffers scatter through
