@@ -105,7 +105,12 @@ def main():
                     help="skip the free-running decode; only run the "
                          "teacher-forced logits pass over the existing "
                          "bf16 stream")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — JAX_PLATFORMS "
+                         "is ignored under the axon sitecustomize")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     os.makedirs(OUT_DIR, exist_ok=True)
     tag = "small" if args.small else "7b"
