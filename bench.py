@@ -207,6 +207,10 @@ def main():
                          "decodes completed chunks while later chunks "
                          "encode (chip fills the encode phase's link-wait "
                          "gaps). Use --videos >= 3 so steady state shows.")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for --small smokes "
+                         "— JAX_PLATFORMS is ignored under the axon "
+                         "sitecustomize)")
     ap.add_argument("--precompile-decode", action="store_true",
                     help="compile the --batch decode executable into the "
                          "persistent cache and exit. The tunneled compiler "
@@ -216,6 +220,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     # persistent compile cache: the tunneled remote compiler takes minutes
     # per program; cache hits make repeat bench runs near-instant
