@@ -599,6 +599,17 @@ def generate_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
+    from trace_tpu.model.quantize import is_packed4
+
+    if any(is_packed4(l) for l in params.get("layers", {}).values()):
+        # the nibble-packed int4 matmul is a Pallas custom call XLA cannot
+        # partition under GSPMD (and its XLA fallback would materialize the
+        # unpacked weights) — int4p is a single-chip serving format
+        raise ValueError(
+            "int4p (nibble-packed) weights are single-chip only; use "
+            "quant='int8' or 'int4' for sharded generation"
+        )
+
     cfg = dataclasses.replace(config, use_decode_kernel=False)
     dp = lambda *names: NamedSharding(mesh, Pspec(*names))
     prefix_embeds = jax.device_put(prefix_embeds, dp("data", None, None))
