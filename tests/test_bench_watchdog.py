@@ -1,0 +1,70 @@
+"""bench.py watchdog robustness (VERDICT r3 items 1/7): a hung, crashed, or
+driver-killed bench must still leave the best completed-pass JSON as the
+LAST stdout line and exit 0 — round 3's official artifact was rc=124 with
+no number because the harness was all-or-nothing.
+
+Uses TRACE_TPU_BENCH_FAKE synthetic children (no jax import, no TPU touch);
+TRACE_TPU_BENCH_ATTEMPTS=1 keeps the watchdog off the tunnel-health probe.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _run(fake: str, timeout: int = 120) -> subprocess.CompletedProcess:
+    env = dict(
+        os.environ,
+        TRACE_TPU_BENCH_FAKE=fake,
+        TRACE_TPU_BENCH_STALL_SEC="3",
+        TRACE_TPU_BENCH_ATTEMPTS="1",
+    )
+    env.pop("TRACE_TPU_BENCH_CHILD", None)
+    return subprocess.run(
+        [sys.executable, BENCH], env=env, cwd=REPO,
+        capture_output=True, timeout=timeout,
+    )
+
+
+def _last_json_line(out: bytes) -> dict:
+    lines = [ln for ln in out.decode().strip().splitlines() if ln.strip()]
+    assert lines, "no stdout at all"
+    return json.loads(lines[-1])
+
+
+def test_clean_child_passes_through():
+    r = _run("ok")
+    assert r.returncode == 0
+    d = _last_json_line(r.stdout)
+    assert d["metric"] == "videos/sec/chip" and d["value"] == 0.123
+
+
+def test_hung_child_result_recovered():
+    # child emits a result then hangs forever (the tunnel's RPC-freeze mode);
+    # the watchdog must kill it, replay the result, and exit 0
+    r = _run("hang")
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    d = _last_json_line(r.stdout)
+    assert d["metric"] == "videos/sec/chip" and d["value"] == 0.123
+    assert b"killing" in r.stderr
+
+
+def test_crashed_child_result_recovered():
+    # child emits a result then exits non-zero (e.g. the 512 pass OOMs after
+    # the headline passes completed)
+    r = _run("3")
+    assert r.returncode == 0
+    d = _last_json_line(r.stdout)
+    assert d["value"] == 0.123
+
+
+def test_no_result_still_fails():
+    # a child that dies before any pass completes must keep rc != 0 — the
+    # watchdog must not fabricate success
+    r = _run("silent-crash")
+    assert r.returncode == 1
+    assert b'{"metric"' not in r.stdout

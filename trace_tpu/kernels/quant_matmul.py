@@ -385,7 +385,11 @@ def quant_apply(
     if isinstance(leaf, dict) and "qp" in leaf:
         # nibble-packed int4 (quantize.is_packed4): tile-local unpack in the
         # Pallas kernel halves the weight HBM bytes of the decode step; the
-        # XLA fallback (CPU/tests, or TRACE_TPU_QMM=xla) unpacks explicitly
+        # XLA fallback (CPU/tests, or TRACE_TPU_QMM_P4=xla) unpacks
+        # explicitly — it materializes full-width weights, so the kernel
+        # path is routed deterministically (Mosaic errors surface at the
+        # outer jit compile, same policy as _btd_attention) rather than
+        # swallowed into a silent slow path.
         import os
 
         qp = leaf["qp"].reshape(K // 2, -1)
@@ -395,14 +399,11 @@ def quant_apply(
             and jax.default_backend() != "cpu"
         )
         if use_pallas:
-            try:
-                y = quant_matmul_p4(
-                    x2, qp, s, out_dtype=out_dtype or x.dtype,
-                    interpret=interpret,
-                )
-                return y.reshape(lead + out_shape)
-            except Exception:
-                pass
+            y = quant_matmul_p4(
+                x2, qp, s, out_dtype=out_dtype or x.dtype,
+                interpret=interpret,
+            )
+            return y.reshape(lead + out_shape)
         from trace_tpu.model.quantize import unpack4
 
         acc = jax.lax.dot_general(

@@ -492,9 +492,7 @@ def _stacked_decode_ok(params: dict, config: DecoderConfig, T: int, cache) -> bo
     impl = decode_attention_impl()
     if impl == "xla":
         return False
-    if jax.default_backend() == "cpu" and impl != "force":
-        # CPU tests run both kernels in interpret mode
-        return True
+    # on CPU both kernels run in interpret mode, so eligibility is the same
     return True
 
 

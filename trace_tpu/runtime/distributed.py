@@ -41,8 +41,13 @@ def initialize(
     ``COORDINATOR_ADDRESS`` (or ``MASTER_ADDR``+``MASTER_PORT``),
     ``NUM_PROCESSES`` (or ``WORLD_SIZE``), ``PROCESS_ID`` (or ``RANK``) —
     so reference-style launch scripts port by renaming nothing but the
-    binary. On TPU pods with the cloud metadata service all three resolve
-    automatically and plain ``initialize()`` suffices.
+    binary. On Cloud-TPU pod VMs (detected via the TPU worker env vars the
+    runtime stamps on every host) a bare ``initialize()`` delegates to
+    ``jax.distributed.initialize()`` with no args, which resolves the
+    coordinator from the cloud metadata service. Anywhere else, calling
+    with no args and no env vars is a single-process no-op — multi-host
+    launches MUST provide the coordinator/world/rank triple explicitly or
+    via env vars, or every process silently runs single-process.
     """
     env = os.environ
     coordinator_address = coordinator_address or env.get("COORDINATOR_ADDRESS") or (
@@ -57,7 +62,11 @@ def initialize(
         process_id = int(v) if v else None
 
     if coordinator_address is None and num_processes is None:
-        return  # single-process (or TPU-pod auto-config unavailable): no-op
+        if _tpu_pod_autoconfig_available():
+            # Cloud TPU pod: no-arg initialize() self-configures from the
+            # metadata service; jax.devices() then spans all hosts.
+            jax.distributed.initialize()
+        return  # single-process: no-op
     if num_processes is not None and num_processes <= 1:
         return
     jax.distributed.initialize(
@@ -66,6 +75,23 @@ def initialize(
         process_id=process_id,
         local_device_ids=local_device_ids,
     )
+
+
+def _tpu_pod_autoconfig_available() -> bool:
+    """True when this process runs on a Cloud-TPU pod worker, where the
+    no-arg ``jax.distributed.initialize()`` can self-configure.
+
+    Cloud TPU VMs stamp worker topology into the environment
+    (``TPU_WORKER_HOSTNAMES``/``TPU_WORKER_ID`` via the metadata service;
+    MegaScale launches set ``MEGASCALE_COORDINATOR_ADDRESS``). A multi-worker
+    signal is required — a single-host TPU VM (or this repo's tunneled
+    single chip) must stay a no-op.
+    """
+    env = os.environ
+    if env.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    hosts = env.get("TPU_WORKER_HOSTNAMES", "")
+    return "," in hosts and env.get("TPU_WORKER_ID") is not None
 
 
 def process_index() -> int:

@@ -847,6 +847,7 @@ class TracePipeline:
         pending_decodes: list = []
         next_stream_chunk = 0
         arena_started = False  # the arena (or its prewarm) exists exactly once
+        fence_buf = None  # last device buffer written by the ENCODE loop
 
         # producer threads run host decode + cv2 downscale/I420 (~0.3 s of
         # host CPU per video; cv2 and device_put release the GIL) and the
@@ -923,6 +924,7 @@ class TracePipeline:
                         if L_enc > L_bucket or c in legacy_chunks:
                             prefixes[i] = prefix[b]
                             masks[i] = mask_rows[b]
+                            fence_buf = prefixes[i]
                             continue
                         if c not in stores:
                             Bc = min(decode_batch, num_items - c * decode_batch)
@@ -932,11 +934,13 @@ class TracePipeline:
                         stores[c] = _store_prefix_rows(
                             stores[c], prefix[b : b + 1], jnp.int32(r)
                         )
+                        fence_buf = stores[c]
                         masks[i] = np.pad(mask_rows[b], (L_bucket - L_enc, 0))
                 else:
                     for b, i in enumerate(idxs):
                         prefixes[i] = prefix[b]
                         masks[i] = mask_rows[b]
+                        fence_buf = prefixes[i]
                 del prefix
                 for _, ts in prepared:
                     frame_ids.append(np.stack([
@@ -959,19 +963,22 @@ class TracePipeline:
                         )
                         next_stream_chunk += 1
 
+        # encode phase ends when the last prefix is materialized (programs
+        # run in submission order; fence the buffer the encode loop wrote
+        # LAST — before draining the streamed decode pool, so encode_s does
+        # not absorb decode wall time).  In streamed mode decode programs
+        # interleave on the same device queue, so this is still encode
+        # WINDOW time, not exclusive chip time; the fenced prefill_s /
+        # decode_loop_s split carries the chip-time decomposition.
+        if fence_buf is not None:
+            np.asarray(jnp.sum(fence_buf.ravel()[:8].astype(jnp.float32)))
+            fence_buf = None
+        t_encode = _time.perf_counter() - t_encode0
+
         if decode_pool is not None:
             for f in pending_decodes:
                 f.result()
             decode_pool.shutdown(wait=True)
-
-        # encode phase ends when the last prefix is materialized (programs
-        # run in submission order; fence the LAST-written buffer)
-        fence = stores[max(stores)] if stores else None
-        if fence is None and prefixes:
-            fence = prefixes[max(prefixes)]
-        if fence is not None:
-            np.asarray(jnp.sum(fence.ravel()[:8].astype(jnp.float32)))
-        t_encode = _time.perf_counter() - t_encode0
 
         if offload_vision:
             self._offload_vision()
