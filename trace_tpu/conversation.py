@@ -310,10 +310,18 @@ def build_trace_prompt(
     Reference: scripts/inference/inference.py:49-54 — the modal tag leads the
     instruction, and the prompt is suffixed with ``<sync>`` so the head FSM
     (initial state = time head) starts decoding the first event's timestamps.
+
+    An instruction that already contains the modal token keeps its own
+    placement (Video-MME's with-subtitles setting puts subtitle text BEFORE
+    the video token — reference videomme/evaluate.py:322-323).
     """
     tpl = get_template(template_name)
+    content = (
+        instruction if modal_token in instruction
+        else f"{modal_token}\n{instruction}"
+    )
     prompt = tpl.prompt([
-        tpl.user_turn(f"{modal_token}\n{instruction}"),
+        tpl.user_turn(content),
         tpl.assistant_turn(None),
     ])
     if append_sync:

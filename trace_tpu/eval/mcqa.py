@@ -197,8 +197,17 @@ def run_videomme(
     max_new_tokens: int = 128,
     output_dir: Optional[str] = None,
     limit: Optional[int] = None,
+    use_subtitles: bool = False,
+    max_subtitle_len: int = 4096,
+    tokenizer=None,
 ) -> dict:
-    """Video-MME MCQA with duration-category accuracy (short/medium/long)."""
+    """Video-MME MCQA with duration-category accuracy (short/medium/long).
+
+    use_subtitles enables the with-subtitles setting: `<data_dir>/subtitle/
+    <videoID>.vtt` is parsed, deduplicated, token-truncated, and placed
+    BEFORE the video token in the prompt (reference
+    videomme/evaluate.py:287-294,322-323; a missing/broken .vtt degrades to
+    the no-subtitle prompt like the reference's except path)."""
     with open(anno_path) as f:
         records = json.load(f)
     if limit:
@@ -208,6 +217,23 @@ def run_videomme(
     for rec in records:
         video_name = rec["url"].split("watch?v=")[1] if "url" in rec else rec["videoID"]
         path = os.path.join(data_dir, "data", video_name + ".mp4")
+        subtitle = ""
+        if use_subtitles:
+            from trace_tpu.eval.subtitles import read_vtt_and_concatenate
+
+            vtt = os.path.join(data_dir, "subtitle", video_name + ".vtt")
+            try:
+                subtitle = read_vtt_and_concatenate(
+                    vtt, tokenizer, max_len=max_subtitle_len
+                )
+            except OSError:
+                subtitle = ""
+        # subtitle text leads the video token; build_trace_prompt keeps a
+        # pre-placed <video> tag where the caller put it
+        pre = (
+            f"This video's subtitles are listed below: {subtitle}\n<video>\n"
+            if subtitle else ""
+        )
         questions = rec.get("questions", [rec] if "question" in rec else [])
         for qd in questions:
             q, a = videomme_qa(qd)
@@ -216,7 +242,7 @@ def run_videomme(
                 "path": path,
                 "bound": None,
                 "data_type": "video",
-                "question": VIDEOMME_SYSTEM + q + VIDEOMME_QUESTION_SUFFIX,
+                "question": pre + VIDEOMME_SYSTEM + q + VIDEOMME_QUESTION_SUFFIX,
                 "answer": a,
             })
 
@@ -296,6 +322,9 @@ def main():
     ap.add_argument("--num-frames", type=int, default=128)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--use-subtitles", action="store_true",
+                    help="Video-MME with-subtitles setting "
+                         "(<video-path>/subtitle/<videoID>.vtt)")
     args = ap.parse_args()
 
     from trace_tpu.runtime.pipeline import model_init
@@ -312,6 +341,7 @@ def main():
             pipeline, args.anno_path, args.video_path,
             num_frames=args.num_frames, batch_size=args.batch_size,
             output_dir=args.output_dir, limit=args.limit,
+            use_subtitles=args.use_subtitles, tokenizer=pipeline.tokenizer,
         )
     print(json.dumps(final, indent=2))
 
