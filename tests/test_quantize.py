@@ -161,6 +161,49 @@ class TestW8A8:
 
         assert jnp.allclose(run(cfg), run(cfg_aq))
 
+    def test_w4a8_matches_weight_only(self):
+        """Packed-int4 leaf through the s8xs8 dot (W4A8) vs the XLA
+        unpack+dequant path — same weights, activation-quant noise only."""
+        from trace_tpu.kernels.quant_matmul import (
+            quant_apply, quant_apply_w8a8, quantize_acts,
+        )
+        from trace_tpu.model.quantize import _quantize_axis, pack4
+
+        x = jax.random.normal(jax.random.PRNGKey(6), (4, 16, 64), jnp.float32) * 0.5
+        w = jax.random.normal(jax.random.PRNGKey(7), (64, 96), jnp.float32) * 0.1
+        q4 = _quantize_axis(w, (0,), bits=4, qdtype=jnp.int8)
+        leaf = {"qp": pack4(q4["q"]), "s": q4["s"]}
+        assert leaf["qp"].shape == (32, 96)
+
+        ref = quant_apply(x, leaf, (96,), out_dtype=jnp.float32)
+        xq, xs = quantize_acts(x)
+        got = quant_apply_w8a8(xq, xs, leaf, (96,), out_dtype=jnp.float32)
+        rel = float(jnp.abs(got - ref).mean()) / float(jnp.abs(ref).mean())
+        assert rel < 0.02, rel
+
+    def test_prefill_w4a8_close_to_weight_only(self):
+        """Whole-decoder int4p prefill: act_quant on (W4A8) vs off."""
+        import dataclasses
+
+        from trace_tpu.model.config import DecoderConfig
+        from trace_tpu.model.mistral import decoder_forward, init_decoder_params
+        from trace_tpu.model.quantize import quantize_decoder_params
+
+        cfg = DecoderConfig.tiny()
+        cfg_aq = dataclasses.replace(cfg, act_quant=True)
+        params = init_decoder_params(cfg, jax.random.PRNGKey(0))
+        qparams = quantize_decoder_params(params, bits=4, pack=True)
+
+        B, T = 2, 12
+        embeds = jax.random.normal(jax.random.PRNGKey(8), (B, T, cfg.hidden_size)) * 0.1
+        mask = jnp.ones((B, T), bool)
+        pos = jnp.broadcast_to(jnp.arange(T), (B, T))
+
+        h_ref, _ = decoder_forward(qparams, cfg, embeds, mask, pos)
+        h_aq, _ = decoder_forward(qparams, cfg_aq, embeds, mask, pos)
+        rel = float(jnp.abs(h_aq - h_ref).mean()) / float(jnp.abs(h_ref).mean())
+        assert rel < 0.05, rel
+
     def test_vit_w8a8_close(self):
         import dataclasses
 

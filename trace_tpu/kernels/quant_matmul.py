@@ -347,7 +347,7 @@ def quantize_acts(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def quant_apply_w8a8(
     xq: jax.Array,     # [..., K] int8 (from quantize_acts)
     xs: jax.Array,     # [..., 1] fp32 row scales
-    leaf: dict,        # {'q': int8 [K, *out], 's': per-out-channel scale}
+    leaf: dict,        # {'q': int8 [K, *out], 's': ..} or {'qp': packed4, 's': ..}
     out_shape: tuple,
     *,
     out_dtype=jnp.bfloat16,
@@ -356,10 +356,22 @@ def quant_apply_w8a8(
 
     This is the structural prefill/ViT throughput lever: the v5e int8 MXU
     peak is ~2x bf16, which convert(int8)->bf16 dequant dots can never
-    reach (measured 145 TF/s prefill ceiling, BENCH_NOTES.md)."""
+    reach (measured 145 TF/s prefill ceiling, BENCH_NOTES.md).
+
+    Nibble-packed int4 leaves ('qp') take the same dot after an in-program
+    unpack to int8 (values in [-8, 7] are s8-exact): int4p serving keeps
+    the halved weight bytes on the bandwidth-bound decode step while
+    prefill recovers the s8xs8 MXU rate — W4A8. The unpacked operand is a
+    per-layer temp XLA materializes once per prefill call (~2x the packed
+    read), which costs ~10% of the dot it feeds at prefill M."""
     lead = xq.shape[:-1]
     K = xq.shape[-1]
-    q = leaf["q"].reshape(K, -1)
+    if "qp" in leaf:
+        from trace_tpu.model.quantize import unpack4
+
+        q = unpack4(leaf["qp"].reshape(K // 2, -1))
+    else:
+        q = leaf["q"].reshape(K, -1)
     s = leaf["s"].reshape(-1)
     acc = jax.lax.dot_general(
         xq.reshape(-1, K), q, (((1,), (0,)), ((), ())),

@@ -194,19 +194,27 @@ def _layer(
     # W8A8 fires only for multi-token (prefill/train-style) chunks: decode's
     # T=1 step is weight-bandwidth-bound, where activation quant only adds
     # overhead (probe: benchmarks/w8a8_probe.py)
-    # (int4 weights are weight-only: the s8xs8 MXU dot needs int8 operands)
     # T==1 historically stayed weight-only on a bandwidth-bound assumption;
     # the decode step measured MXU-tile-latency-bound instead
     # (benchmarks/stacked_qmm_probe.py + decode_ablate B-scaling), so the
     # s8xs8 decode dot is re-testable via TRACE_TPU_DECODE_W8A8=1.
+    # Nibble-packed int4 ('qp') also takes the s8xs8 dot for T>1 via an
+    # in-program unpack to int8 (W4A8) — but never at T=1, where unpacking
+    # would double the weight bytes of the bandwidth-bound step.
     import os as _os
 
     w8a8 = (
         config.act_quant
-        and (T > 1 or _os.environ.get("TRACE_TPU_DECODE_W8A8", "0") == "1")
         and is_quantized(lp["wq"])
-        and "q" in lp["wq"]   # nibble-packed int4 has no s8xs8 MXU path
-        and lp["wq"]["q"].dtype == jnp.int8
+        and (
+            (
+                "q" in lp["wq"]
+                and lp["wq"]["q"].dtype == jnp.int8
+                and (T > 1
+                     or _os.environ.get("TRACE_TPU_DECODE_W8A8", "0") == "1")
+            )
+            or ("qp" in lp["wq"] and T > 1)
+        )
     )
     if w8a8:
         from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
@@ -310,7 +318,8 @@ def _layer(
         aq, asc = quantize_acts(attn_flat)
         x = x + quant_apply_w8a8(aq, asc, lp["wo"], (D,), out_dtype=x.dtype)
         h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
-        I = lp["w_gate"]["q"].shape[-1]
+        g = lp["w_gate"]
+        I = (g["q"] if "q" in g else g["qp"]).shape[-1]
         hq, hs = quantize_acts(h)  # shared by gate/up
         gate = quant_apply_w8a8(hq, hs, lp["w_gate"], (I,), out_dtype=jnp.float32)
         up = quant_apply_w8a8(hq, hs, lp["w_up"], (I,), out_dtype=jnp.float32)

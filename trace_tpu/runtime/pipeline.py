@@ -1048,9 +1048,11 @@ def model_init(
             config,
             decoder=dataclasses.replace(
                 config.decoder, kv_cache_dtype="int8",
-                # int4 is weight-only (no s8xs8 MXU path for 4-bit operands);
-                # its lever is halved weight bytes on the HBM-bound decode
-                act_quant=(quant == "int8"),
+                # int8 prefill runs W8A8; int4p prefill runs W4A8 (in-program
+                # unpack to s8, same MXU dot) while decode stays weight-only
+                # packed — halved weight bytes on the HBM-bound step. Native
+                # jnp.int4 stays weight-only (no s8 operand view of S4).
+                act_quant=(quant in ("int8", "int4p")),
             ),
         )
     tokenizer = load_hf_tokenizer(model_path)
