@@ -46,8 +46,12 @@ def _qmm_p4_kernel(x1_ref, x2_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
     """Nibble-packed int4 matmul tile: one packed int8 byte carries weight
     rows k (low nibble) and k + K/2 (high nibble) — halves the HBM weight
     bytes the bandwidth-bound decode step streams (vs int8).  The unpack
-    (shift + sign-extend) happens per VMEM tile on the VPU; the dots run
-    bf16 on the MXU."""
+    happens per VMEM tile on the VPU; the dots run bf16 on the MXU.
+
+    The unpack is float arithmetic, not shifts: Mosaic on v5e rejects
+    sub-32-bit integer shift vectors (remote-compile HTTP 500 at
+    `shift_left`, 2026-08-18).  f32 represents every int8 exactly, and
+    floor(b/16) IS the arithmetic >>4, so hi/lo reconstruct exactly."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -56,9 +60,11 @@ def _qmm_p4_kernel(x1_ref, x2_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
 
     x1 = x1_ref[:]                       # [bm, bk] rows [0, K/2)
     x2 = x2_ref[:]                       # [bm, bk] rows [K/2, K)
-    w8 = q_ref[:]                        # [bk, bn] packed int8
-    lo = (jnp.left_shift(w8, 4) >> 4).astype(x1.dtype)
-    hi = (w8 >> 4).astype(x1.dtype)
+    wf = q_ref[:].astype(jnp.float32)    # [bk, bn] packed byte, exact in f32
+    hi_f = jnp.floor(wf * 0.0625)        # == byte >> 4 (floor division by 16)
+    lo_u = wf - hi_f * 16.0              # low nibble, unsigned [0, 16)
+    lo = (lo_u - jnp.where(lo_u >= 8.0, 16.0, 0.0)).astype(x1.dtype)
+    hi = hi_f.astype(x1.dtype)
     acc_ref[:] += jax.lax.dot_general(
         x1, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
