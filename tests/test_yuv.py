@@ -140,3 +140,31 @@ def test_band_patches_match_pixel_path_exactly():
     np.testing.assert_array_equal(
         np.asarray(got.astype(jnp.float32)), np.asarray(want.astype(jnp.float32))
     )
+
+
+def test_host_downscale_band_matches_full_path():
+    """Band-only downscale must be bit-identical to pad-square + full
+    resize + band extraction, across landscape shapes (and decline
+    portrait/square so callers fall back)."""
+    import numpy as np
+
+    from trace_tpu.video.preprocess import (
+        content_band, host_downscale, host_downscale_band,
+    )
+
+    rng = np.random.default_rng(7)
+    S = 48  # small canvas: the alignment math is size-generic
+    for H, W in [(36, 48), (30, 64), (34, 60), (46, 48)]:
+        frames = rng.integers(0, 255, (3, H, W, 3), np.uint8)
+        got = host_downscale_band(frames, S)
+        assert got is not None, (H, W)
+        band, top, left = got
+        t, h, l, w = content_band(H, W, S)
+        assert (top, left) == (t, l)
+        ref = host_downscale(frames, S, "pad")[:, t : t + h, l : l + w]
+        np.testing.assert_array_equal(band, ref)
+    # portrait and square fall back to the full path
+    assert host_downscale_band(
+        rng.integers(0, 255, (2, 64, 40, 3), np.uint8), S) is None
+    assert host_downscale_band(
+        rng.integers(0, 255, (2, 48, 48, 3), np.uint8), S) is None

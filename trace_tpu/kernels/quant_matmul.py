@@ -372,17 +372,27 @@ def quant_apply_w8a8(
     read), which costs ~10% of the dot it feeds at prefill M."""
     lead = xq.shape[:-1]
     K = xq.shape[-1]
+    s = leaf["s"].reshape(-1)
     if "qp" in leaf:
-        from trace_tpu.model.quantize import unpack4
-
-        q = unpack4(leaf["qp"].reshape(K // 2, -1))
+        # two s8xs8 dots over the nibble halves — no concatenated [K, N]
+        # unpacked temp (the concat copy doubled the unpack traffic):
+        # x @ unpack4(qp) == x[:, :K/2] @ lo + x[:, K/2:] @ hi
+        qp = leaf["qp"].reshape(K // 2, -1)
+        lo = jnp.left_shift(qp, 4) >> 4   # sign-extended low nibble, int8
+        hi = qp >> 4                      # arithmetic shift: high nibble
+        x2 = xq.reshape(-1, K)
+        dn = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(
+            x2[:, : K // 2], lo, dn, preferred_element_type=jnp.int32
+        ) + jax.lax.dot_general(
+            x2[:, K // 2 :], hi, dn, preferred_element_type=jnp.int32
+        )
     else:
         q = leaf["q"].reshape(K, -1)
-    s = leaf["s"].reshape(-1)
-    acc = jax.lax.dot_general(
-        xq.reshape(-1, K), q, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+        acc = jax.lax.dot_general(
+            xq.reshape(-1, K), q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
     y = acc.astype(jnp.float32) * xs.reshape(-1, 1) * s.astype(jnp.float32)[None, :]
     return y.astype(out_dtype).reshape(lead + out_shape)
 

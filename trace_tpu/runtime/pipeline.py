@@ -276,11 +276,27 @@ class TracePipeline:
         # frames larger than the ViT input downscale on host first — the
         # host->device link is the bottleneck in tunneled setups
         H0, W0 = frames_u8.shape[1], frames_u8.shape[2]
+        band_fast = None  # (band_u8, top, left) from the band-only downscale
         if H0 * W0 > int(1.3 * S * S):
-            from trace_tpu.video.preprocess import host_downscale
+            from trace_tpu.video.preprocess import (
+                host_downscale,
+                host_downscale_band,
+            )
 
-            frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
-        if (
+            if (
+                cfg.upload_format == "yuv420"
+                and cfg.image_aspect_ratio == "pad"
+                and S % 4 == 0
+            ):
+                # bit-identical to host_downscale + band extraction, but
+                # computes ONLY the band — skips the padded canvas, the
+                # full-frame resize, and the extraction copy (the producer
+                # threads share ONE host core here; this was most of their
+                # per-video cost)
+                band_fast = host_downscale_band(frames_u8, S)
+            if band_fast is None:
+                frames_u8 = host_downscale(frames_u8, S, cfg.image_aspect_ratio)
+        if band_fast is not None or (
             cfg.upload_format == "yuv420"
             and frames_u8.shape[1] == S and frames_u8.shape[2] == S
             and S % 4 == 0
@@ -301,11 +317,18 @@ class TracePipeline:
             # whenever the ViT grid divides the canvas — the standard config
             patchify = S % cfg.vision.patch_size == 0
             fill = (np.asarray(CLIP_IMAGE_MEAN) * 255).astype(np.uint8)
+            if band_fast is not None and (h, w) == (S, S):
+                # near-square landscape: the "band" spans the whole canvas
+                frames_u8 = band_fast[0]
+                band_fast = None
             if (h, w) != (S, S):
-                # upload only the rows/cols that aren't the uniform pad color
-                band = np.ascontiguousarray(
-                    frames_u8[:, top : top + h, left : left + w]
-                )
+                if band_fast is not None:
+                    band, top, left = band_fast  # already exactly the band
+                else:
+                    # upload only the rows/cols that aren't the uniform pad
+                    band = np.ascontiguousarray(
+                        frames_u8[:, top : top + h, left : left + w]
+                    )
                 args = (
                     jnp.asarray(rgb_to_i420_np(band)),
                     jnp.int32(top), jnp.int32(left),

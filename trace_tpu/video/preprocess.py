@@ -41,6 +41,67 @@ def host_downscale(
     return out
 
 
+def host_downscale_band(
+    frames: np.ndarray, image_size: int = 336
+) -> tuple[np.ndarray, int, int] | None:
+    """Pad-square + bicubic resize computing ONLY the content band.
+
+    Returns (band_u8 [T, h, w, 3], top, left) with (top, h, left, w) =
+    ``content_band(H, W, S)`` — bit-identical (tested) to
+    ``host_downscale(frames, S)[:, top:top+h, left:left+w]`` without ever
+    materializing the [T, side, side, 3] padded canvas or the full output
+    canvas.  On the single-core bench host the canvas broadcast + full
+    resize + band-extraction copy were most of the per-video host cost
+    (the producer-thread ceiling, BENCH_NOTES round 4).
+
+    Exactness argument: the band's input start row ``bi`` is aligned to
+    the output grid (``bi * S % side == 0``), so cv2's sampling phases
+    ``(dst + 0.5) * side/S - 0.5`` inside the band match the full-canvas
+    resize; and every returned output row's bicubic support (2 input px)
+    lies inside the band input, which reproduces pad fill rows exactly.
+
+    Returns None for shapes the fast path doesn't cover (portrait/square)
+    — callers fall back to :func:`host_downscale`.
+    """
+    import math
+
+    import cv2
+
+    T, H, W, C = frames.shape
+    S = image_size
+    if not (H < W):  # landscape-only fast path (the dominant video shape)
+        return None
+    side = W
+    top_out, h, left_out, w = content_band(H, W, S)
+    assert (left_out, w) == (0, S)
+    fill = (CLIP_IMAGE_MEAN * 255).astype(np.uint8)
+    pad0 = (side - H) // 2
+    p = side // math.gcd(side, S)  # input rows per aligned output block
+    # input rows whose bicubic support the output band rows [top, top+h) read
+    c0 = math.floor((top_out + 0.5) * side / S - 0.5) - 1
+    c1 = math.floor((top_out + h - 0.5) * side / S - 0.5) + 2
+    bi = max(0, (c0 // p) * p)
+    be = min(side, ((c1 + p) // p) * p)
+    bh_in = be - bi
+    bh_out = bh_in * S // side
+    bo = bi * S // side
+    assert bo <= top_out and bo + bh_out >= top_out + h, (bi, be, top_out, h)
+    a0, a1 = max(bi, pad0), min(be, pad0 + H)  # content rows inside the band
+    band_in = np.empty((bh_in, W, C), np.uint8)
+    out = np.empty((T, h, S, C), np.uint8)
+    tmp = np.empty((bh_out, S, C), np.uint8)
+    r0 = top_out - bo
+    if a0 > bi:  # fill margins are frame-invariant
+        band_in[: a0 - bi] = fill
+    if be > a1:
+        band_in[a1 - bi :] = fill
+    for i in range(T):
+        band_in[a0 - bi : a1 - bi] = frames[i, a0 - pad0 : a1 - pad0]
+        cv2.resize(band_in, (S, bh_out), dst=tmp, interpolation=cv2.INTER_CUBIC)
+        out[i] = tmp[r0 : r0 + h]
+    return out, top_out, 0
+
+
 def content_band(H: int, W: int, S: int) -> tuple:
     """Rows/cols of the pad-squared+resized S x S frame that can differ from
     the uniform fill color: the resized content plus the bicubic bleed into
