@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--m", type=int, default=32, help="decode batch rows")
+    ap.add_argument("--prefill", action="store_true",
+                    help="compare prefill-M paths instead: bf16 dense, "
+                         "int8-xla, W8A8 s8 dot, W4A8 two-dot unpack")
     args = ap.parse_args()
 
     import functools
@@ -69,6 +72,48 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     M = args.m
+
+    if args.prefill:
+        from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
+
+        M = 4864 if not cpu else 64  # pb=2 x bucket 2432 rows
+        n_iter = 2 if cpu else max(4, args.iters // 8)
+        for K, N in ((4096, 14336),) if not cpu else ((256, 512),):
+            x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32), jnp.bfloat16)
+            w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32), jnp.bfloat16)
+            q8 = jnp.asarray(rng.integers(-127, 128, size=(K, N)).astype(np.int8))
+            qp = jnp.asarray(rng.integers(-128, 128, size=(K // 2, N)).astype(np.int8))
+            s = jnp.asarray(rng.uniform(0.01, 0.02, size=(N,)).astype(np.float32))
+            tf = 2 * M * K * N / 1e12
+
+            def bf16_dense(xc):
+                return jax.lax.dot_general(
+                    xc, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+
+            def int8_xla(xc):
+                acc = jax.lax.dot_general(
+                    xc, q8.astype(xc.dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return (acc * s[None, :]).astype(xc.dtype)
+
+            def w8a8(xc):
+                xq, xs = quantize_acts(xc)
+                return quant_apply_w8a8(xq, xs, {"q": q8, "s": s}, (N,))
+
+            def w4a8(xc):
+                xq, xs = quantize_acts(xc)
+                return quant_apply_w8a8(xq, xs, {"qp": qp, "s": s}, (N,))
+
+            for name, fn in (("bf16-dense", bf16_dense), ("int8-xla", int8_xla),
+                             ("w8a8", w8a8), ("w4a8-2dot", w4a8)):
+                dt = loop_time(fn, x)
+                print(f"M={M} K={K} N={N}  {name:10s}: {dt*1e3:8.2f} ms "
+                      f"({tf/dt:6.1f} TF/s-eq)", flush=True)
+        return 0
+
     shapes = ((4096, 4096), (4096, 14336), (14336, 4096))
     if cpu:
         shapes = ((256, 512),)
