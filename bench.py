@@ -288,7 +288,11 @@ def main():
         args.frames = config.num_frames
         args.decode_tokens = min(args.decode_tokens, 32)
     else:
-        int8 = args.quant == "int8"  # int4/int4p are weight-only: no W8A8 acts
+        # int8 prefill runs W8A8; int4p prefill runs W4A8 (in-program nibble
+        # unpack into the same s8xs8 MXU dot, mistral.py T>1 routing) while
+        # its T=1 decode step stays weight-only packed. Native jnp.int4 and
+        # bf16 take no activation quant.
+        int8 = args.quant in ("int8", "int4p")
         vit8 = args.vit == "int8"
         config = TraceConfig(
             # act_quant: W8A8 (dynamic per-token int8 activations) on prefill

@@ -89,11 +89,16 @@ def quant_matmul_p4(
     *,
     out_dtype=None,
     bm: int = 1024,
-    bn: int = 512,
-    bk: int = 512,   # K/2-block
+    bn: int = 1024,
+    bk: int = 1024,  # K/2-block
     interpret: bool = False,
 ) -> jax.Array:
-    """y[M, N] = (x @ unpack4(qp)) * s with tile-local unpack+dequant."""
+    """y[M, N] = (x @ unpack4(qp)) * s with tile-local unpack+dequant.
+
+    Block defaults from the on-chip sweep (benchmarks/qmm_p4_sweep.py,
+    2026-08-19): 1024x1024 wins or ties at every decode shape (5-8% over
+    the original 512x512); 2048-wide blocks fail the remote Mosaic compile
+    (VMEM)."""
     M, K = x.shape
     Kh, N = qp.shape
     assert K == 2 * Kh, (x.shape, qp.shape)

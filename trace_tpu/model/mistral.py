@@ -203,36 +203,62 @@ def _layer(
     # would double the weight bytes of the bandwidth-bound step.
     import os as _os
 
+    # serving layout may carry fused QKV / gate|up leaves (one MXU dot per
+    # group; see quantize.fuse_decoder_serving) — probe whichever exists
+    fused_qkv = "wqkv" in lp
+    _wq = lp["wqkv"] if fused_qkv else lp["wq"]
+    NQ, NKVW = NH * HD, NKV * HD
+
+    def _split_qkv(qkv):
+        q = qkv[..., :NQ].reshape(B, T, NH, HD).transpose(0, 2, 1, 3)
+        k = (qkv[..., NQ:NQ + NKVW]
+             .reshape(B, T, NKV, HD).transpose(0, 2, 1, 3))
+        v = (qkv[..., NQ + NKVW:]
+             .reshape(B, T, NKV, HD).transpose(0, 2, 1, 3))
+        return q, k, v
+
     w8a8 = (
         config.act_quant
-        and is_quantized(lp["wq"])
+        and is_quantized(_wq)
         and (
             (
-                "q" in lp["wq"]
-                and lp["wq"]["q"].dtype == jnp.int8
+                "q" in _wq
+                and _wq["q"].dtype == jnp.int8
                 and (T > 1
                      or _os.environ.get("TRACE_TPU_DECODE_W8A8", "0") == "1")
             )
-            or ("qp" in lp["wq"] and T > 1)
+            or ("qp" in _wq and T > 1)
         )
     )
     if w8a8:
         from trace_tpu.kernels.quant_matmul import quant_apply_w8a8, quantize_acts
 
         hq, hs = quantize_acts(h)  # one rounding pass shared by q/k/v
-        q = quant_apply_w8a8(hq, hs, lp["wq"], (NH, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
-        k = quant_apply_w8a8(hq, hs, lp["wk"], (NKV, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
-        v = quant_apply_w8a8(hq, hs, lp["wv"], (NKV, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
-    elif is_quantized(lp["wq"]):
+        if fused_qkv:
+            qkv = quant_apply_w8a8(
+                hq, hs, lp["wqkv"], (NQ + 2 * NKVW,), out_dtype=x.dtype
+            )
+            q, k, v = _split_qkv(qkv)
+        else:
+            q = quant_apply_w8a8(hq, hs, lp["wq"], (NH, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
+            k = quant_apply_w8a8(hq, hs, lp["wk"], (NKV, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
+            v = quant_apply_w8a8(hq, hs, lp["wv"], (NKV, HD), out_dtype=x.dtype).transpose(0, 2, 1, 3)
+    elif is_quantized(_wq):
         # int8 path: tile-local dequant inside the Pallas matmul — XLA must
         # never see convert(int8) feeding a dot, or LICM hoists full bf16
         # weight copies out of the decode loop (measured OOM).
         from trace_tpu.kernels.quant_matmul import quant_apply
 
         interp = jax.default_backend() == "cpu"
-        q = quant_apply(h, lp["wq"], (NH, HD), interpret=interp).transpose(0, 2, 1, 3)
-        k = quant_apply(h, lp["wk"], (NKV, HD), interpret=interp).transpose(0, 2, 1, 3)
-        v = quant_apply(h, lp["wv"], (NKV, HD), interpret=interp).transpose(0, 2, 1, 3)
+        if fused_qkv:
+            qkv = quant_apply(
+                h, lp["wqkv"], (NQ + 2 * NKVW,), interpret=interp
+            )
+            q, k, v = _split_qkv(qkv)
+        else:
+            q = quant_apply(h, lp["wq"], (NH, HD), interpret=interp).transpose(0, 2, 1, 3)
+            k = quant_apply(h, lp["wk"], (NKV, HD), interpret=interp).transpose(0, 2, 1, 3)
+            v = quant_apply(h, lp["wv"], (NKV, HD), interpret=interp).transpose(0, 2, 1, 3)
     else:
         q = jnp.einsum("btd,dnh->bnth", h, lp["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
         k = jnp.einsum("btd,dnh->bnth", h, lp["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -318,11 +344,17 @@ def _layer(
         aq, asc = quantize_acts(attn_flat)
         x = x + quant_apply_w8a8(aq, asc, lp["wo"], (D,), out_dtype=x.dtype)
         h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
-        g = lp["w_gate"]
-        I = (g["q"] if "q" in g else g["qp"]).shape[-1]
         hq, hs = quantize_acts(h)  # shared by gate/up
-        gate = quant_apply_w8a8(hq, hs, lp["w_gate"], (I,), out_dtype=jnp.float32)
-        up = quant_apply_w8a8(hq, hs, lp["w_up"], (I,), out_dtype=jnp.float32)
+        if "w_gateup" in lp:
+            gu = lp["w_gateup"]
+            I2 = (gu["q"] if "q" in gu else gu["qp"]).shape[-1]
+            gateup = quant_apply_w8a8(hq, hs, gu, (I2,), out_dtype=jnp.float32)
+            gate, up = gateup[..., : I2 // 2], gateup[..., I2 // 2:]
+        else:
+            g = lp["w_gate"]
+            I = (g["q"] if "q" in g else g["qp"]).shape[-1]
+            gate = quant_apply_w8a8(hq, hs, lp["w_gate"], (I,), out_dtype=jnp.float32)
+            up = quant_apply_w8a8(hq, hs, lp["w_up"], (I,), out_dtype=jnp.float32)
         act = jax.nn.silu(gate) * up
         dq_, ds_ = quantize_acts(act)
         mlp_out = quant_apply_w8a8(dq_, ds_, lp["w_down"], (D,), out_dtype=x.dtype)
@@ -336,10 +368,18 @@ def _layer(
         attn_out = quant_apply(attn_flat, lp["wo"], (D,), interpret=interp)
         x = x + attn_out
         h = rms_norm(x, lp["mlp_norm"], config.rms_eps)
-        g = lp["w_gate"]
-        I = (g["q"] if "q" in g else g["qp"]).shape[-1]
-        gate = quant_apply(h, lp["w_gate"], (I,), out_dtype=jnp.float32, interpret=interp)
-        up = quant_apply(h, lp["w_up"], (I,), out_dtype=jnp.float32, interpret=interp)
+        if "w_gateup" in lp:
+            gu = lp["w_gateup"]
+            I2 = (gu["q"] if "q" in gu else gu["qp"]).shape[-1]
+            gateup = quant_apply(
+                h, gu, (I2,), out_dtype=jnp.float32, interpret=interp
+            )
+            gate, up = gateup[..., : I2 // 2], gateup[..., I2 // 2:]
+        else:
+            g = lp["w_gate"]
+            I = (g["q"] if "q" in g else g["qp"]).shape[-1]
+            gate = quant_apply(h, lp["w_gate"], (I,), out_dtype=jnp.float32, interpret=interp)
+            up = quant_apply(h, lp["w_up"], (I,), out_dtype=jnp.float32, interpret=interp)
         act = (jax.nn.silu(gate) * up).astype(x.dtype)
         mlp_out = quant_apply(act, lp["w_down"], (D,), interpret=interp)
         return x + mlp_out, new_cache

@@ -135,6 +135,70 @@ def quantize_decoder_params(params: dict, bits: int = 8, pack: bool = False) -> 
     return out
 
 
+def _concat_out_channels(leaves: list):
+    """Concat quantized leaves along output channels in the flattened
+    [L, K, N] view quant_apply uses.  Valid because scales are per output
+    channel: column n of the fused result is exactly column n of whichever
+    source weight owns it.  Works for both {'q','s'} (int8/int4) and
+    nibble-packed {'qp','s'} leaves (packing is per-column along K, so
+    column concat preserves it).  Host (numpy) trees stay on host."""
+    import numpy as np
+
+    first = leaves[0]
+    key = "qp" if "qp" in first else "q"
+    host = isinstance(first[key], np.ndarray)
+    cat = np.concatenate if host else jnp.concatenate
+    L, K = first[key].shape[0], first[key].shape[1]
+    if key == "q":
+        # attention projections store [L, D, NH, HD]; flatten to [L, D, N]
+        q = cat([lf["q"].reshape(L, K, -1) for lf in leaves], axis=2)
+    else:
+        q = cat([lf["qp"].reshape(L, K, -1) for lf in leaves], axis=2)
+    s = cat([lf["s"].reshape(L, 1, -1) for lf in leaves], axis=2)
+    return {key: q, "s": s}
+
+
+def fuse_decoder_serving(params: dict) -> dict:
+    """Serving-time layout transform: one QKV matmul and one gate|up matmul
+    per layer instead of five separate dots.
+
+    The decode step at serving batch (M≈24-48) is MXU-tile-latency-bound,
+    not bandwidth-bound (benchmarks/qmm_p4_sweep.py: a [32,4096]x[4096,4096]
+    dot and a [32,4096]x[4096,14336] dot cost nearly the same wall time), so
+    per-dot fixed cost dominates — 7 dots/layer -> 4 cuts it directly.  The
+    split of the fused result is output-channel slicing at 128-lane-aligned
+    offsets, which XLA fuses into the consumers.
+
+    Applies only to dense quantized layers (the single-chip serving layout);
+    LoRA / MoE / biased-QKV / bf16 trees are returned unchanged.  Training,
+    checkpoint I/O, and the GSPMD sharded path keep canonical per-weight
+    leaves (same policy as vit.fuse_vision_qkv).
+    """
+    layers = params.get("layers", {})
+    if "wqkv" in layers or "router" in layers or "bq" in layers:
+        return params
+    if any("_lora_" in k for k in layers):
+        return params
+    names = ("wq", "wk", "wv", "w_gate", "w_up")
+    if not all(is_quantized(layers.get(n)) for n in names):
+        return params
+    kinds = {("qp" if "qp" in layers[n] else "q") for n in names}
+    if len(kinds) != 1:
+        return params
+    if "q" in layers["wq"] and layers["wq"]["q"].dtype not in (
+        jnp.int8,
+    ):  # native jnp.int4 stays unfused (XLA repacks on concat)
+        return params
+    new = dict(layers)
+    new["wqkv"] = _concat_out_channels(
+        [new.pop("wq"), new.pop("wk"), new.pop("wv")]
+    )
+    new["w_gateup"] = _concat_out_channels([new.pop("w_gate"), new.pop("w_up")])
+    out = dict(params)
+    out["layers"] = new
+    return out
+
+
 def quantize_vision_params(params: dict) -> dict:
     """int8-quantize the CLIP encoder's stacked linear weights."""
     out = dict(params)

@@ -218,6 +218,16 @@ class TracePipeline:
         self._combined = combined_embedding(self.params)
         decoder = dict(self.params["decoder"])
         decoder.pop("embed", None)
+        import os
+
+        if os.environ.get("TRACE_TPU_FUSE_DEC", "1") == "1":
+            # serving layout: one QKV dot + one gate|up dot per layer — the
+            # decode step is per-dot-latency-bound at serving batch, so
+            # 7 dots/layer -> 4 is a direct step-time cut (no-op for
+            # unquantized / LoRA / MoE trees; see fuse_decoder_serving)
+            from trace_tpu.model.quantize import fuse_decoder_serving
+
+            decoder = fuse_decoder_serving(decoder)
         self._decoder_params = decoder
         self._encode_params = {
             k: v for k, v in self.params.items() if k != "decoder"
@@ -671,7 +681,9 @@ class TracePipeline:
             from trace_tpu.model.quantize import is_quantized
 
             dec = self._decoder_params or self.params.get("decoder", {})
-            offload_vision = not is_quantized(dec.get("layers", {}).get("wq"))
+            lyr = dec.get("layers", {})
+            # the serving layout may have fused wq/wk/wv into wqkv
+            offload_vision = not is_quantized(lyr.get("wqkv", lyr.get("wq")))
         self._prepare_memory_layout()
         self._restore_vision()
 
