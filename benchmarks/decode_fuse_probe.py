@@ -61,8 +61,11 @@ def main() -> int:
     cpu = jax.devices()[0].platform == "cpu"
     cfg = DecoderConfig() if not cpu else DecoderConfig.tiny()
     # serving KV layout: int8 cache (the e2e arena's dtype); halves the
-    # cache-read term so the weight-path difference under test stands out
-    cfg = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    # cache-read term so the weight-path difference under test stands out.
+    # act_quant mirrors model_init serving configs: int8 prefill runs W8A8
+    # and int4p prefill runs W4A8 — without it the int4p probe's prefill
+    # falls onto the weight-only p4 kernel at M=B*P (never a serving path).
+    cfg = dataclasses.replace(cfg, kv_cache_dtype="int8", act_quant=True)
     D = cfg.hidden_size
     B = args.b if not cpu else 2
     new = 64 if not cpu else 8

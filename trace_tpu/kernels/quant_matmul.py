@@ -109,6 +109,15 @@ def quant_matmul_p4(
     bm = min(bm, -(-M // 8) * 8)
     bn = min(bn, N)
     bk = min(bk, Kh)
+    # scoped-VMEM budget: x1+x2 (2*bm*bk bf16) + q (bk*bn s8) + out (bm*bn
+    # bf16) + acc (bm*bn f32) + ~2 f32 unpack temps (bk*bn each) must stay
+    # under the 16 MB stack limit (measured blow-up: bm=1024 with 1024x1024
+    # blocks at prefill M -> 18 MB).  Serving prefill takes the W4A8 two-dot
+    # path instead; this guard keeps the weight-only fallback compiling.
+    while bm > 8 and (
+        4 * bm * bk + bk * bn + 6 * bm * bn + 8 * bk * bn > 12 * 1024 * 1024
+    ):
+        bm //= 2
 
     x1 = _pad_dim(_pad_dim(x[:, :Kh], 0, bm), 1, bk)
     x2 = _pad_dim(_pad_dim(x[:, Kh:], 0, bm), 1, bk)
