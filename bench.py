@@ -42,13 +42,21 @@ def zero_params(config, quant: str = "bf16", vit_quant: str = None):
     def build(key):
         p = init_trace_params(config, key, dtype=config.dtype)
         if quant in ("int8", "int4", "int4p"):
-            from trace_tpu.model.quantize import quantize_decoder_params
+            from trace_tpu.model.quantize import (
+                fuse_decoder_serving,
+                quantize_decoder_params,
+            )
 
             p = dict(p)
             p["decoder"] = quantize_decoder_params(
                 p["decoder"], bits=8 if quant == "int8" else 4,
                 pack=(quant == "int4p"),
             )
+            if os.environ.get("TRACE_TPU_FUSE_DEC", "1") == "1":
+                # fuse INSIDE eval_shape: the zeros are then allocated
+                # directly in the fused serving layout — no transient
+                # doubled residency / HBM fragmentation on the chip
+                p["decoder"] = fuse_decoder_serving(p["decoder"])
         if vit_quant == "int8":
             from trace_tpu.model.quantize import quantize_vision_params
 
@@ -222,9 +230,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
-    ap.add_argument("--videos", type=int, default=1, help="timed batches "
-                    "(corpus = videos x batch; 1 keeps the prefill phase's "
-                    "resident-prefix footprint inside HBM at batch 32)")
+    ap.add_argument("--videos", type=int, default=2, help="timed batches "
+                    "(corpus = videos x batch). Default 2: streamed mode "
+                    "needs >= 2 decode chunks per pass to overlap decode "
+                    "into the next chunk's encode window — at 1 it "
+                    "degenerates to two-phase.")
     ap.add_argument("--batch", type=int, default=32, help="videos per batch "
                     "(32 fits since the decode cache aliases its donated "
                     "input; falls back by halving on OOM)")

@@ -96,7 +96,14 @@ def head_states_from_stream(config, tokens: np.ndarray, initial_head: int = 1):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=["bf16", "int8", "int4", "int4p"], default=None)
+    ap.add_argument("--phase",
+                    choices=["bf16", "int8", "int4", "int4p", "vit8"],
+                    default=None)
+    ap.add_argument("--fused", action="store_true",
+                    help="apply the fuse_decoder_serving layout (wqkv + "
+                         "gateup) to the quantized phase — validates the "
+                         "serving layout at 7B scale (artifacts tagged "
+                         "<phase>_fused)")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--tokens", type=int, default=1024)
     ap.add_argument("--prefix", type=int, default=256)
@@ -125,6 +132,9 @@ def main():
     except Exception:
         pass
 
+    if args.phase == "vit8":
+        return vit8_phase(args, tag)
+
     from trace_tpu.model.config import DecoderConfig
     from trace_tpu.model.mistral import compute_logits, decoder_forward
     from trace_tpu.model.quantize import (
@@ -148,6 +158,12 @@ def main():
         params = quantize_decoder_params_host(params, bits=4)
     elif args.phase == "int4p":
         params = quantize_decoder_params_host(params, bits=4, pack=True)
+    if args.fused and args.phase in ("int8", "int4p"):
+        from trace_tpu.model.quantize import fuse_decoder_serving
+
+        params = fuse_decoder_serving(params)
+        assert "wqkv" in params["layers"], "serving fusion did not engage"
+        args.phase = args.phase + "_fused"  # artifact names carry the layout
     print(f"host params in {time.time() - t0:.1f}s", flush=True)
 
     # combined input-embedding table + prefix embeds, shared across phases
@@ -248,6 +264,69 @@ def main():
         with open(os.path.join(OUT_DIR, f"agree_{tag}_{args.phase}.json"), "w") as f:
             json.dump(result, f)
         print(json.dumps(result), flush=True)
+
+
+def vit8_phase(args, tag: str) -> None:
+    """W8A8 CLIP tower vs bf16 on shared random ViT-L weights.
+
+    The serving default quantizes the vision tower (s8xs8 MXU linears,
+    btd attention); released CLIP weights are unavailable here (zero
+    egress), so this is the weights-free quality proxy: embedding-level
+    relative error and per-patch cosine similarity of the -2-tap features
+    the connector consumes.  Published W8A8 results on trained ViTs show
+    per-channel int8 to be near-lossless; random weights lower-bound that
+    (no learned outlier structure to lose)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from trace_tpu.model.config import VisionConfig
+    from trace_tpu.model.quantize import quantize_vision_params
+    from trace_tpu.model.vit import init_vit_params, vit_forward
+
+    vc = VisionConfig.tiny() if args.small else VisionConfig()
+    B = 4 if args.small else 16
+    params = init_vit_params(vc, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(
+        rng.standard_normal((B, vc.image_size, vc.image_size, 3)),
+        jnp.bfloat16,
+    )
+
+    use_flash = jax.devices()[0].platform != "cpu"
+    ref = np.asarray(
+        jax.jit(
+            lambda p, x: vit_forward(p, vc, x, use_flash=use_flash)
+        )(params, imgs),
+        np.float32,
+    )
+    qp = quantize_vision_params(params)
+    vq = dataclasses.replace(vc, act_quant=True)
+    out = np.asarray(
+        jax.jit(
+            lambda p, x: vit_forward(p, vq, x, use_flash=use_flash)
+        )(qp, imgs),
+        np.float32,
+    )
+
+    rel = float(
+        np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
+    )
+    cos = np.sum(out * ref, -1) / np.maximum(
+        np.linalg.norm(out, axis=-1) * np.linalg.norm(ref, axis=-1), 1e-9
+    )
+    result = {
+        "phase": "vit8",
+        "frames": int(B),
+        "rel_fro_err": rel,
+        "cos_mean": float(cos.mean()),
+        "cos_p01": float(np.percentile(cos, 1)),
+        "cos_min": float(cos.min()),
+    }
+    with open(os.path.join(OUT_DIR, f"agree_{tag}_vit8.json"), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result), flush=True)
 
 
 def report(tag: str):

@@ -220,11 +220,22 @@ class TracePipeline:
         decoder.pop("embed", None)
         import os
 
-        if os.environ.get("TRACE_TPU_FUSE_DEC", "1") == "1":
+        import numpy as _np
+
+        _probe = decoder.get("layers", {}).get("wq")
+        host_tree = isinstance(_probe, dict) and any(
+            isinstance(v, _np.ndarray) for v in _probe.values()
+        )
+        if host_tree and os.environ.get("TRACE_TPU_FUSE_DEC", "1") == "1":
             # serving layout: one QKV dot + one gate|up dot per layer — the
             # decode step is per-dot-latency-bound at serving batch, so
             # 7 dots/layer -> 4 is a direct step-time cut (no-op for
-            # unquantized / LoRA / MoE trees; see fuse_decoder_serving)
+            # unquantized / LoRA / MoE trees; see fuse_decoder_serving).
+            # HOST trees only: fusing device-resident 7B weights doubles
+            # their HBM residency transiently and fragments the space the
+            # KV arena needs (measured OOM at decode batch 24) — device
+            # callers fuse at build time instead (bench.zero_params,
+            # model_init's host path).
             from trace_tpu.model.quantize import fuse_decoder_serving
 
             decoder = fuse_decoder_serving(decoder)
@@ -1079,6 +1090,15 @@ def model_init(
         params["decoder"] = quantize_decoder_params_host(
             params["decoder"], bits, pack=(quant == "int4p")
         )
+        import os
+
+        if os.environ.get("TRACE_TPU_FUSE_DEC", "1") == "1":
+            # fuse ON HOST, before upload: device-side fusion would
+            # transiently double the weight residency and fragment HBM
+            # ahead of the KV arena (measured OOM at decode batch 24)
+            from trace_tpu.model.quantize import fuse_decoder_serving
+
+            params["decoder"] = fuse_decoder_serving(params["decoder"])
         config = dataclasses.replace(
             config,
             decoder=dataclasses.replace(
