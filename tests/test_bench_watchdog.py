@@ -20,7 +20,12 @@ def _run(fake: str, timeout: int = 120) -> subprocess.CompletedProcess:
     env = dict(
         os.environ,
         TRACE_TPU_BENCH_FAKE=fake,
-        TRACE_TPU_BENCH_STALL_SEC="3",
+        # child "output" starts only after interpreter startup (numpy
+        # import); on a loaded 1-core host that alone can exceed a few
+        # seconds — 15 s keeps the watchdog semantics under test without
+        # the startup-time flake (observed with a 7B host-param build
+        # saturating the core)
+        TRACE_TPU_BENCH_STALL_SEC="15",
         TRACE_TPU_BENCH_ATTEMPTS="1",
     )
     env.pop("TRACE_TPU_BENCH_CHILD", None)
