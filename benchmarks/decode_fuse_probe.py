@@ -32,6 +32,11 @@ def main() -> int:
     ap.add_argument("--quant", choices=["int8", "int4p"], default="int8")
     ap.add_argument("--w8a8-decode", action="store_true",
                     help="also probe TRACE_TPU_DECODE_W8A8=1 (s8xs8 T=1 dots)")
+    ap.add_argument("--prefill-batch", type=int, default=0,
+                    help="sub-batch the probe's prefill INSIDE generate_jit "
+                    "(needed at real serving cache lens, e.g. --s 3072, "
+                    "where a monolithic B=24 prefill OOMs next to the "
+                    "weights+cache)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--modes", default="unfused,fused",
                     help="comma list: unfused,fused")
@@ -92,7 +97,8 @@ def main() -> int:
 
         def run(n_new):
             kw = dict(max_new_tokens=n_new, cache_len=P + new,
-                      use_flash=not cpu)
+                      use_flash=not cpu,
+                      prefill_batch=args.prefill_batch or None)
             best = None
             for i in range(2):
                 t0 = time.time()

@@ -333,7 +333,15 @@ def report(tag: str):
     out = {}
     ref_path = os.path.join(OUT_DIR, f"tokens_{tag}_bf16.npy")
     ref = np.load(ref_path) if os.path.exists(ref_path) else None
-    for phase in ("int8", "int4", "int4p"):
+    # derive the phase list from the artifacts present (agree_{tag}_*.json)
+    # so new tags (int8_fused, int4p_g128, vit8, ...) surface automatically
+    import glob as _glob
+
+    phases = sorted({
+        os.path.basename(p)[len(f"agree_{tag}_"):-len(".json")]
+        for p in _glob.glob(os.path.join(OUT_DIR, f"agree_{tag}_*.json"))
+    } | {"int8", "int4", "int4p"})
+    for phase in phases:
         entry = {}
         tp = os.path.join(OUT_DIR, f"tokens_{tag}_{phase}.npy")
         if ref is not None and os.path.exists(tp):

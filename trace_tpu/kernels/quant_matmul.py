@@ -117,7 +117,10 @@ def quant_matmul_p4(
     while bm > 8 and (
         4 * bm * bk + bk * bn + 6 * bm * bn + 8 * bk * bn > 12 * 1024 * 1024
     ):
-        bm //= 2
+        # keep every halving 8-aligned: bm starts at ceil8(M), and an odd M
+        # (e.g. 1128 -> 564 -> 282) would hand Mosaic a non-sublane-aligned
+        # block shape
+        bm = max(8, -(-(bm // 2) // 8) * 8)
 
     x1 = _pad_dim(_pad_dim(x[:, :Kh], 0, bm), 1, bk)
     x2 = _pad_dim(_pad_dim(x[:, Kh:], 0, bm), 1, bk)

@@ -656,8 +656,26 @@ def decoder_forward(
                 x, c = layer_fn(x, lp, full_cache=c, li=li, cache_index=cache_index)
                 return (x, c), None
 
+            # T=1 decode: optionally unroll the layer scan (layer-pair or
+            # -quad bodies) — the step is per-dispatch/latency-bound at
+            # serving batch (BENCH_NOTES r4 decode_fuse_probe), so halving
+            # the scan-iteration count trims loop overhead between layers.
+            # Probe-gated env knob; full unroll measured SLOWER (28 vs 17
+            # ms/step at B=1, r2) so values stay small.
+            import os as _os
+
+            unroll = 1
+            if T == 1:
+                try:
+                    unroll = max(1, int(_os.environ.get(
+                        "TRACE_TPU_DECODE_UNROLL", "1")))
+                except ValueError:
+                    unroll = 1
+                if num_layers % unroll:
+                    unroll = 1
             (x, new_cache), _ = jax.lax.scan(
-                body, (x, cache), (params["layers"], jnp.arange(num_layers))
+                body, (x, cache), (params["layers"], jnp.arange(num_layers)),
+                unroll=unroll,
             )
 
     x = rms_norm(x, params["final_norm"], config.rms_eps)

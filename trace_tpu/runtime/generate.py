@@ -291,6 +291,57 @@ prefill_into_jit = partial(
 )(_prefill_into)
 
 
+def _prefill_all_into(params, c, big, prefix_embeds, prefix_mask, *,
+                      prefill_batch, cache_len, use_flash):
+    """ALL prefill sub-batches in one executable: a lax.scan over B/pb
+    sub-chunks writes each sub-cache into the donated full-batch arena.
+
+    Replaces the Python loop of prefill_into_jit dispatches — measured
+    ~36 ms of per-dispatch overhead each at serving shapes (B=24, P=2560,
+    pb=2: 12 dispatches, benchmarks/prefill_probe.py 2026-08-19), which a
+    single program reclaims while compiling ONE sub-batch body (scan), not
+    an unrolled copy per sub-batch."""
+    B, P, D = prefix_embeds.shape
+    pb = prefill_batch
+    nb = B // pb
+    pe = prefix_embeds.reshape(nb, pb, P, D)
+    pm = prefix_mask.reshape(nb, pb, P)
+
+    def body(carry, xs):
+        i, pe_i, pm_i = xs
+        sub, cm, lh, npos = _prefill(
+            params, c, pe_i, pm_i, cache_len=cache_len, use_flash=use_flash
+        )
+
+        def put(b, s):
+            idx = (jnp.int32(0), (i * pb).astype(jnp.int32)) + (
+                jnp.int32(0),
+            ) * (b.ndim - 2)
+            return jax.lax.dynamic_update_slice(b, s.astype(b.dtype), idx)
+
+        return jax.tree.map(put, carry, sub), (cm, lh, npos)
+
+    big, (cms, lhs, nps) = jax.lax.scan(
+        body, big, (jnp.arange(nb), pe, pm)
+    )
+    return (
+        big,
+        cms.reshape(B, -1),
+        lhs.reshape(B, -1),
+        nps.reshape(B),
+    )
+
+
+prefill_all_into_jit = partial(
+    jax.jit,
+    static_argnames=("c", "prefill_batch", "cache_len", "use_flash"),
+    # only the arena is donated: callers (tests, probes) legitimately reuse
+    # their prefix arrays across calls, and the prefix buffer was live for
+    # the whole prefill phase under the dispatch-loop layout too
+    donate_argnums=(2,),
+)(_prefill_all_into)
+
+
 def _decode_from_state(
     params, c, cache, cache_mask, last_hidden, next_pos,
     combined_embed, initial_head, *,
@@ -709,33 +760,52 @@ def generate_split(
     import time as _time
 
     t0 = _time.perf_counter()
-    cms, lhs, nps = [], [], []
-    for r in range(0, B, prefill_batch):
-        big, cm, lh, npos = prefill_into_jit(
-            params, config, big,
-            prefix_embeds[r : r + prefill_batch],
-            prefix_mask[r : r + prefill_batch],
-            jnp.int32(r),
-            cache_len=cache_len, use_flash=use_flash,
+    import os as _os
+
+    if B % prefill_batch == 0 and _os.environ.get(
+        "TRACE_TPU_PREFILL_SCAN", "1"
+    ) == "1":
+        # one executable for the whole prefill phase (scan over sub-
+        # batches): reclaims ~36 ms/dispatch of launch overhead at serving
+        # shapes (benchmarks/prefill_probe.py) and donates the prefix
+        # buffer away the moment the program owns it
+        big, cm_all, lh_all, np_all = prefill_all_into_jit(
+            params, config, big, prefix_embeds, prefix_mask,
+            prefill_batch=prefill_batch, cache_len=cache_len,
+            use_flash=use_flash,
         )
-        cms.append(cm)
-        lhs.append(lh)
-        nps.append(npos)
+        prefix_embeds = None
+    else:
+        cms, lhs, nps = [], [], []
+        for r in range(0, B, prefill_batch):
+            big, cm, lh, npos = prefill_into_jit(
+                params, config, big,
+                prefix_embeds[r : r + prefill_batch],
+                prefix_mask[r : r + prefill_batch],
+                jnp.int32(r),
+                cache_len=cache_len, use_flash=use_flash,
+            )
+            cms.append(cm)
+            lhs.append(lh)
+            nps.append(npos)
+        cm_all = jnp.concatenate(cms)
+        lh_all = jnp.concatenate(lhs)
+        np_all = jnp.concatenate(nps)
     # the prefix embeds (~B*P*D bf16) are dead once prefilled — free them
     # before the decode executable allocates its temps
     del prefix_embeds
 
     t1 = None
     if time_phases:
-        # fence the last prefill (block_until_ready is a no-op through the
+        # fence the prefill (block_until_ready is a no-op through the
         # tunneled backend; a tiny D2H reduction forces completion)
-        np.asarray(jnp.sum(lhs[-1].ravel()[:8].astype(jnp.float32)))
+        np.asarray(jnp.sum(lh_all.ravel()[:8].astype(jnp.float32)))
         t1 = _time.perf_counter()
 
     heads = jnp.full((B,), initial_head, jnp.int32)
     tokens, num, big = decode_jit(
         params, config, big,
-        jnp.concatenate(cms), jnp.concatenate(lhs), jnp.concatenate(nps),
+        cm_all, lh_all, np_all,
         combined_embed, heads,
         prefix_len=bucket, max_new_tokens=budget,
         temperature=temperature, eos_id=eos_id,

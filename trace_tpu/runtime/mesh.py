@@ -50,9 +50,22 @@ _PARAM_RULES: tuple[tuple[str, P], ...] = (
     ("decoder/layers/wk", P(None, None, "model", None)),
     ("decoder/layers/wv", P(None, None, "model", None)),
     ("decoder/layers/wo", P(None, "model", None, None)),
+    # flattened [L, K, N] forms (quantized leaves after an unfuse round-trip)
+    ("decoder/layers/wq", P(None, None, "model")),
+    ("decoder/layers/wk", P(None, None, "model")),
+    ("decoder/layers/wv", P(None, None, "model")),
+    ("decoder/layers/wo", P(None, "model", None)),
     ("decoder/layers/w_gate", P(None, None, "model")),
     ("decoder/layers/w_up", P(None, None, "model")),
     ("decoder/layers/w_down", P(None, "model", None)),
+    # fused serving leaves (quantize.fuse_decoder_serving) — safety net only:
+    # shard_params_for_inference UNFUSES first (the fused output dim crosses
+    # the q|k|v / gate|up boundaries, so sharding it forces resharding
+    # collectives around the splits), but if a fused tree reaches the mesh
+    # anyway, TP-shard its output dim rather than silently replicating the
+    # 7B weights on every chip.
+    ("decoder/layers/wqkv", P(None, None, "model")),
+    ("decoder/layers/w_gateup", P(None, None, "model")),
     ("decoder/lm_head", P(None, "model")),
     ("decoder/time_head", P(None, None)),
     ("decoder/score_head", P(None, None)),
@@ -144,6 +157,18 @@ def inference_param_shardings(params: dict, mesh: Mesh):
 
 
 def shard_params_for_inference(params: dict, mesh: Mesh) -> dict:
+    """Place serving params on the mesh (decoder TP).  Fused serving trees
+    (wqkv / w_gateup) are split back to canonical leaves first — the fused
+    single-chip layout and the TP layout are mutually exclusive (see
+    quantize.unfuse_decoder_serving)."""
+    from trace_tpu.model.quantize import unfuse_decoder_serving
+
+    if "decoder" in params:
+        if "wqkv" in params["decoder"].get("layers", {}):
+            params = dict(params)
+            params["decoder"] = unfuse_decoder_serving(params["decoder"])
+    elif "wqkv" in params.get("layers", {}):
+        params = unfuse_decoder_serving(params)
     return jax.device_put(params, inference_param_shardings(params, mesh))
 
 

@@ -1081,6 +1081,15 @@ def model_init(
     if quant in ("int8", "int4", "int4p"):
         from trace_tpu.model.quantize import quantize_decoder_params_host
 
+        if quant == "int4" and jax.default_backend() == "axon":
+            # fail fast with the support-matrix message (README) instead of
+            # the client's deep RecursionError on the first int4 op
+            raise ValueError(
+                "quant='int4' (native jnp.int4) is not usable through the "
+                "axon dev tunnel: the client RecursionErrors on any int4 "
+                "op. Use quant='int4p' (nibble-packed, any backend) or "
+                "'int8'. See README 'support matrix'."
+            )
         bits = 8 if quant == "int8" else 4
         params = dict(params)
         # int4p = nibble-packed 4-bit (two weights per int8 byte): identical
