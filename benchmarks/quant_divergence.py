@@ -104,6 +104,11 @@ def main():
                          "gateup) to the quantized phase — validates the "
                          "serving layout at 7B scale (artifacts tagged "
                          "<phase>_fused)")
+    ap.add_argument("--group", type=int, default=128,
+                    help="int4p scale group size along K (0 = legacy "
+                         "per-output-channel — the layout that collapsed "
+                         "to 0.3%% agreement at 7B, r4). Artifacts for "
+                         "grouped runs are tagged int4p_g<group>.")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--tokens", type=int, default=1024)
     ap.add_argument("--prefix", type=int, default=256)
@@ -157,8 +162,14 @@ def main():
     elif args.phase == "int4":
         params = quantize_decoder_params_host(params, bits=4)
     elif args.phase == "int4p":
-        params = quantize_decoder_params_host(params, bits=4, pack=True)
-    if args.fused and args.phase in ("int8", "int4p"):
+        params = quantize_decoder_params_host(
+            params, bits=4, pack=True, group=args.group
+        )
+        if args.group:
+            G = params["layers"]["wq"]["s"].shape[1]
+            assert G > 1 or args.small, "grouping did not engage"
+            args.phase = f"int4p_g{args.group}"
+    if args.fused and args.phase in ("int8", "int4p", f"int4p_g{args.group}"):
         from trace_tpu.model.quantize import fuse_decoder_serving
 
         params = fuse_decoder_serving(params)

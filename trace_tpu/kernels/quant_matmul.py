@@ -149,14 +149,121 @@ def quant_matmul_p4(
     return out[:M, :N]
 
 
-def _pad_dim(x, axis, mult):
+def _qmm_p4g_kernel(x1_ref, x2_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
+                    *, nk: int, gpb: int):
+    """Group-wise-scaled nibble-packed int4 matmul tile.
+
+    Scales are per (128-row contraction group, output channel) — the 7B
+    quality fix over per-channel absmax (quantize._quantize_grouped4).
+    Each 128-row weight slice is unpacked, scaled by its group's [bn] scale
+    row (a natural sublane broadcast), and fed to its own [bm,128]x[128,bn]
+    MXU dot — the MXU is 128x128, so G dots of K=128 cost the same MXU
+    passes as one K=bk dot; the extra VPU work is one multiply per WEIGHT
+    element (K*N), not per accumulator element (G*M*N)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x1 = x1_ref[:]                       # [bm, bk] rows [0, K/2)
+    x2 = x2_ref[:]                       # [bm, bk] rows [K/2, K)
+    wf = q_ref[:].astype(jnp.float32)    # [bk, bn] packed byte, exact in f32
+    hi_f = jnp.floor(wf * 0.0625)        # == byte >> 4 (see _qmm_p4_kernel)
+    lo_u = wf - hi_f * 16.0
+    lo = lo_u - jnp.where(lo_u >= 8.0, 16.0, 0.0)
+    hi = hi_f
+    dn = (((1,), (0,)), ((), ()))
+    for g in range(gpb):
+        r0, r1 = g * 128, (g + 1) * 128
+        sl = slo_ref[g, :].astype(jnp.float32)[None, :]   # [1, bn]
+        sh = shi_ref[g, :].astype(jnp.float32)[None, :]
+        acc_ref[:] += jax.lax.dot_general(
+            x1[:, r0:r1], (lo[r0:r1, :] * sl).astype(x1.dtype), dn,
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += jax.lax.dot_general(
+            x2[:, r0:r1], (hi[r0:r1, :] * sh).astype(x1.dtype), dn,
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret")
+)
+def quant_matmul_p4_grouped(
+    x: jax.Array,    # [M, K] bf16/f32
+    qp: jax.Array,   # [K/2, N] nibble-packed int8
+    s: jax.Array,    # [G, N] per-(group, output-channel) scale, G = K/128
+    *,
+    out_dtype=None,
+    bm: int = 1024,
+    bn: int = 1024,
+    bk: int = 1024,  # K/2-block; must be a multiple of 128 (group size)
+    interpret: bool = False,
+) -> jax.Array:
+    """y[M, N] = (x @ (unpack4(qp) * expand(s))) with tile-local
+    unpack + per-group weight scaling (see _qmm_p4g_kernel)."""
+    M, K = x.shape
+    Kh, N = qp.shape
+    assert K == 2 * Kh, (x.shape, qp.shape)
+    G = s.shape[0]
+    assert G * 128 == K and G % 2 == 0, (s.shape, K)
+    out_dtype = out_dtype or x.dtype
+
+    bm = min(bm, -(-M // 8) * 8)
+    bn = min(bn, N)
+    bk = min(bk, Kh)
+    assert bk % 128 == 0, bk
+    while bm > 8 and (
+        4 * bm * bk + bk * bn + 6 * bm * bn + 8 * bk * bn > 12 * 1024 * 1024
+    ):
+        bm = max(8, -(-(bm // 2) // 8) * 8)
+
+    x1 = _pad_dim(_pad_dim(x[:, :Kh], 0, bm), 1, bk)
+    x2 = _pad_dim(_pad_dim(x[:, Kh:], 0, bm), 1, bk)
+    qpp = _pad_dim(_pad_dim(qp, 0, bk), 1, bn)
+    # scale rows for the lo half (groups [0, G/2)) and hi half ([G/2, G));
+    # K-padding adds whole zero-weight groups — pad scales with ones
+    s_lo = _pad_dim(_pad_dim(s[: G // 2], 0, bk // 128, fill=1.0), 1, bn)
+    s_hi = _pad_dim(_pad_dim(s[G // 2 :], 0, bk // 128, fill=1.0), 1, bn)
+    Mp, Kp = x1.shape
+    Np = qpp.shape[1]
+    nm, nn, nk = Mp // bm, Np // bn, Kp // bk
+    gpb = bk // 128
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_p4g_kernel, nk=nk, gpb=gpb),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(x1, x2, qpp, s_lo, s_hi)
+    return out[:M, :N]
+
+
+def _pad_dim(x, axis, mult, fill=0.0):
     size = x.shape[axis]
     target = -(-size // mult) * mult
     if target == size:
         return x
     pad = [(0, 0)] * x.ndim
     pad[axis] = (0, target - size)
-    return jnp.pad(x, pad)
+    return jnp.pad(x, pad, constant_values=fill)
 
 
 @functools.partial(
@@ -389,6 +496,14 @@ def quant_apply_w8a8(
     read), which costs ~10% of the dot it feeds at prefill M."""
     lead = xq.shape[:-1]
     K = xq.shape[-1]
+    if "qp" in leaf and leaf["s"].size != leaf["qp"].shape[-1]:
+        # group-wise-scaled int4p has no s8xs8 form (the per-group scale
+        # must apply inside the contraction); the model layer routes grouped
+        # leaves through the weight-only path instead (mistral._layer)
+        raise ValueError(
+            "quant_apply_w8a8 does not support group-scaled packed-int4 "
+            "leaves; use quant_apply (weight-only)"
+        )
     s = leaf["s"].reshape(-1)
     if "qp" in leaf:
         # two s8xs8 dots over the nibble halves — no concatenated [K, N]
@@ -438,11 +553,34 @@ def quant_apply(
         import os
 
         qp = leaf["qp"].reshape(K // 2, -1)
-        s = leaf["s"].reshape(-1)
+        N = qp.shape[-1]
+        grouped = leaf["s"].size != N  # [G, N] group-wise scales
         use_pallas = (
             os.environ.get("TRACE_TPU_QMM_P4", "pallas") == "pallas"
             and jax.default_backend() != "cpu"
         )
+        if grouped:
+            s = leaf["s"].reshape(-1, N)
+            if use_pallas:
+                y = quant_matmul_p4_grouped(
+                    x2, qp, s, out_dtype=out_dtype or x.dtype,
+                    interpret=interpret,
+                )
+                return y.reshape(lead + out_shape)
+            # XLA fallback (CPU/tests): scale the unpacked weights per
+            # group, then one dot — materializes a [K, N] compute-dtype
+            # temp per call, so the Pallas tile-local path is the default
+            from trace_tpu.model.quantize import unpack4
+
+            G = s.shape[0]
+            w = unpack4(qp).astype(jnp.float32).reshape(G, K // G, N)
+            w = (w * s.astype(jnp.float32)[:, None, :]).reshape(K, N)
+            acc = jax.lax.dot_general(
+                x2, w.astype(x2.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc.astype(out_dtype or x.dtype).reshape(lead + out_shape)
+        s = leaf["s"].reshape(-1)
         if use_pallas:
             y = quant_matmul_p4(
                 x2, qp, s, out_dtype=out_dtype or x.dtype,

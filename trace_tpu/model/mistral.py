@@ -217,6 +217,13 @@ def _layer(
              .reshape(B, T, NKV, HD).transpose(0, 2, 1, 3))
         return q, k, v
 
+    # group-wise-scaled int4p (s: [G, N], G>1) has no s8xs8 W4A8 form —
+    # the per-group scale must apply inside the contraction, so grouped
+    # leaves always take the weight-only quant_apply path (the Pallas
+    # kernel scales weight tiles per group in VMEM)
+    _p4_grouped = (
+        "qp" in _wq and _wq["s"].size != _wq["qp"].shape[-1]
+    )
     w8a8 = (
         config.act_quant
         and is_quantized(_wq)
@@ -227,7 +234,7 @@ def _layer(
                 and (T > 1
                      or _os.environ.get("TRACE_TPU_DECODE_W8A8", "0") == "1")
             )
-            or ("qp" in _wq and T > 1)
+            or ("qp" in _wq and T > 1 and not _p4_grouped)
         )
     )
     if w8a8:

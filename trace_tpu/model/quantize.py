@@ -89,7 +89,15 @@ def dequantize(leaf, dtype=jnp.bfloat16) -> jax.Array:
     if is_packed4(leaf):
         # returns the FLATTENED [.., K, N] view (packing flattens the
         # original einsum axes); consumers are quant_apply-shaped
-        return (unpack4(leaf["qp"]).astype(jnp.bfloat16) * leaf["s"]).astype(dtype)
+        w = unpack4(leaf["qp"]).astype(jnp.bfloat16)
+        G = packed4_groups(leaf)
+        if G > 1:  # group-wise scales along K
+            K = w.shape[-2]
+            shp = w.shape
+            wg = w.reshape(shp[:-2] + (G, K // G, shp[-1]))
+            wg = wg * leaf["s"][..., :, None, :].astype(jnp.bfloat16)
+            return wg.reshape(shp).astype(dtype)
+        return (w * leaf["s"]).astype(dtype)
     if is_quantized(leaf):
         return (leaf["q"].astype(jnp.bfloat16) * leaf["s"]).astype(dtype)
     return leaf
@@ -117,27 +125,57 @@ def _pack_leaf4(leaf: dict, reduce_axes: tuple) -> dict:
     return {"qp": pack4(q3), "s": s.astype(jnp.bfloat16).reshape(L, 1, -1)}
 
 
-def quantize_decoder_params(params: dict, bits: int = 8, pack: bool = False) -> dict:
+def _group_count(K: int, group: int) -> int:
+    """Scale groups along a contraction dim of K: K//group when it divides
+    evenly and leaves >= 2 groups per PACKED HALF (the nibble packing pairs
+    rows k and k+K/2, so lo/hi need whole groups each), else 1 (legacy
+    per-output-channel — tiny test configs land here)."""
+    if group <= 0 or K % group or (K // group) % 2:
+        return 1
+    return K // group
+
+
+def _quantize_grouped4(w, reduce_axes: tuple, group: int) -> dict:
+    """Group-wise symmetric int4 in the flattened [L, K, N] view, nibble-
+    packed: {'qp': [L, K/2, N] int8, 's': [L, K/group, N] bf16}.
+
+    Per-channel absmax over K=4096+ collapses at 7B (0.3% teacher-forced
+    agreement, r4 divergence records); group-128 bounds each scale's
+    dynamic range to 128 weights — the bitsandbytes/NF4-class design."""
+    L = w.shape[0]
+    K = 1
+    for a in reduce_axes:
+        K *= w.shape[a]
+    G = _group_count(K, group)
+    wf = w.astype(jnp.float32).reshape(L, G, K // G, -1)
+    amax = jnp.max(jnp.abs(wf), axis=2, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    return {
+        "qp": pack4(q.reshape(L, K, -1)),
+        "s": scale[:, :, 0, :].astype(jnp.bfloat16),
+    }
+
+
+def quantize_decoder_params(params: dict, bits: int = 8, pack: bool = False,
+                            group: int = 128) -> dict:
     """int8/int4-quantize the decoder's large matmul weights.
 
     Layer stacks quantize per (layer, output-channel); attention projections
     reduce over the input dim; heads and the embedding stay bf16 (gathers and
     fp32 logits want full precision rows).  ``pack`` (bits=4 only) stores
-    nibble-packed int8 instead of jnp.int4 (see is_packed4).
-    """
+    nibble-packed int8 instead of jnp.int4 (see is_packed4), with group-wise
+    scales along the contraction dim (``group``, default 128; 0 = legacy
+    per-output-channel)."""
     out = dict(params)
     layers = dict(params["layers"])
 
     # reduce over the *input* dims; keep (L, out...) in the scale
     for name, axes in _DECODER_REDUCE.items():
-        leaf = _quantize_axis(
-            layers[name], axes, bits,
-            # packed mode never materializes a jnp.int4 array (the dev
-            # tunnel's client dies on ANY int4 op — BENCH_NOTES)
-            qdtype=jnp.int8 if (bits == 4 and pack) else None,
-        )
         if bits == 4 and pack:
-            leaf = _pack_leaf4(leaf, axes)
+            leaf = _quantize_grouped4(layers[name], axes, group)
+        else:
+            leaf = _quantize_axis(layers[name], axes, bits)
         layers[name] = leaf
 
     out["layers"] = layers
@@ -163,9 +201,14 @@ def _concat_out_channels(leaves: list):
     if key == "q":
         # attention projections store [L, D, NH, HD]; flatten to [L, D, N]
         q = cat([lf["q"].reshape(L, K, -1) for lf in leaves], axis=2)
+        s = cat([lf["s"].reshape(L, 1, -1) for lf in leaves], axis=2)
     else:
         q = cat([lf["qp"].reshape(L, K, -1) for lf in leaves], axis=2)
-    s = cat([lf["s"].reshape(L, 1, -1) for lf in leaves], axis=2)
+        # group-wise scales are already [L, G, N]; concat preserves the
+        # per-(group, column) layout exactly (same K ⇒ same G)
+        G = first["s"].shape[1]
+        assert all(lf["s"].shape[1] == G for lf in leaves)
+        s = cat([lf["s"].reshape(L, G, -1) for lf in leaves], axis=2)
     return {key: q, "s": s}
 
 
@@ -239,11 +282,14 @@ def unfuse_decoder_serving(params: dict) -> dict:
         return outs
 
     wo = layers["wo"]
-    wo_q = wo["q"] if isinstance(wo, dict) and "q" in wo else wo
-    if wo_q.ndim == 4:  # [L, NH, HD, D]
-        nq = wo_q.shape[1] * wo_q.shape[2]
-    else:  # already flattened [L, K, D]
-        nq = wo_q.shape[1]
+    if isinstance(wo, dict) and "qp" in wo:
+        nq = 2 * wo["qp"].shape[1]  # packed [L, (NH*HD)/2, D]
+    else:
+        wo_q = wo["q"] if isinstance(wo, dict) and "q" in wo else wo
+        if wo_q.ndim == 4:  # [L, NH, HD, D]
+            nq = wo_q.shape[1] * wo_q.shape[2]
+        else:  # already flattened [L, K, D]
+            nq = wo_q.shape[1]
     qkv = new.pop("wqkv")
     n_total = (qkv["qp"] if "qp" in qkv else qkv["q"]).shape[-1]
     nkvw = (n_total - nq) // 2
@@ -316,16 +362,38 @@ def _pack_leaf4_np(leaf: dict, reduce_axes: tuple) -> dict:
     }
 
 
+def _quantize_grouped4_np(w, reduce_axes: tuple, group: int) -> dict:
+    """numpy variant of :func:`_quantize_grouped4` (identical values)."""
+    import ml_dtypes
+    import numpy as np
+
+    L = w.shape[0]
+    K = 1
+    for a in reduce_axes:
+        K *= w.shape[a]
+    G = _group_count(K, group)
+    wf = np.asarray(w, np.float32).reshape(L, G, K // G, -1)
+    amax = np.max(np.abs(wf), axis=2, keepdims=True)
+    scale = np.maximum(amax / 7.0, 1e-8)
+    q = np.clip(np.round(wf / scale), -7, 7).astype(np.int8).reshape(L, K, -1)
+    lo = q[:, : K // 2].astype(np.uint8) & 0xF
+    hi = (q[:, K // 2 :].astype(np.uint8) & 0xF) << 4
+    return {
+        "qp": (lo | hi).view(np.int8),
+        "s": scale[:, :, 0, :].astype(ml_dtypes.bfloat16),
+    }
+
+
 def quantize_decoder_params_host(params: dict, bits: int = 8,
-                                 pack: bool = False) -> dict:
+                                 pack: bool = False, group: int = 128) -> dict:
     """numpy-in / numpy-out variant of :func:`quantize_decoder_params`."""
     out = dict(params)
     layers = dict(params["layers"])
     for name, axes in _DECODER_REDUCE.items():
-        leaf = _quantize_axis_np(layers[name], axes, bits,
-                                 plain_int8=(bits == 4 and pack))
         if bits == 4 and pack:
-            leaf = _pack_leaf4_np(leaf, axes)
+            leaf = _quantize_grouped4_np(layers[name], axes, group)
+        else:
+            leaf = _quantize_axis_np(layers[name], axes, bits)
         layers[name] = leaf
     out["layers"] = layers
     out["lm_head"] = _quantize_axis_np(params["lm_head"], (0,))
