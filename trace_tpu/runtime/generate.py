@@ -342,6 +342,21 @@ prefill_all_into_jit = partial(
 )(_prefill_all_into)
 
 
+def use_prefill_scan(B: int, prefill_batch: int) -> bool:
+    """Whether the serving split runs its prefill as ONE scan executable
+    (prefill_all_into_jit) instead of a Python dispatch loop.
+
+    Shared by generate_split and the pipeline's prewarm so the executable
+    compiled during the encode phase is the executable the decode phase
+    dispatches — a prewarm that compiles the other variant leaves the real
+    compile inside the timed serving window."""
+    import os as _os
+
+    return B % prefill_batch == 0 and _os.environ.get(
+        "TRACE_TPU_PREFILL_SCAN", "1"
+    ) == "1"
+
+
 def _decode_from_state(
     params, c, cache, cache_mask, last_hidden, next_pos,
     combined_embed, initial_head, *,
@@ -762,9 +777,7 @@ def generate_split(
     t0 = _time.perf_counter()
     import os as _os
 
-    if B % prefill_batch == 0 and _os.environ.get(
-        "TRACE_TPU_PREFILL_SCAN", "1"
-    ) == "1":
+    if use_prefill_scan(B, prefill_batch):
         # one executable for the whole prefill phase (scan over sub-
         # batches): reclaims ~36 ms/dispatch of launch overhead at serving
         # shapes (benchmarks/prefill_probe.py) and donates the prefix

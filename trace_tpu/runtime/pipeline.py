@@ -850,12 +850,25 @@ class TracePipeline:
                 budget = max(max_new_tokens, token_budget or 0)
                 cache_len = bucket + budget
                 D = c.hidden_size
-                zp = jnp.zeros((prefill_batch, bucket, D), self.config.dtype)
-                zm = jnp.ones((prefill_batch, bucket), bool)
-                arena, cm0, lh0, np0 = gen.prefill_into_jit(
-                    self._decoder_params, c, arena, zp, zm, jnp.int32(0),
-                    cache_len=cache_len, use_flash=gen.default_use_flash(),
-                )
+                if gen.use_prefill_scan(decode_batch, prefill_batch):
+                    # compile the SAME executable generate_split dispatches
+                    # (scan over sub-batches at the full decode batch) —
+                    # prewarming the dispatch-loop variant instead leaves
+                    # the real compile inside the first timed chunk
+                    zp = jnp.zeros((decode_batch, bucket, D), self.config.dtype)
+                    zm = jnp.ones((decode_batch, bucket), bool)
+                    arena, cm0, lh0, np0 = gen.prefill_all_into_jit(
+                        self._decoder_params, c, arena, zp, zm,
+                        prefill_batch=prefill_batch, cache_len=cache_len,
+                        use_flash=gen.default_use_flash(),
+                    )
+                else:
+                    zp = jnp.zeros((prefill_batch, bucket, D), self.config.dtype)
+                    zm = jnp.ones((prefill_batch, bucket), bool)
+                    arena, cm0, lh0, np0 = gen.prefill_into_jit(
+                        self._decoder_params, c, arena, zp, zm, jnp.int32(0),
+                        cache_len=cache_len, use_flash=gen.default_use_flash(),
+                    )
                 B = decode_batch
                 tokens, num, arena = gen.decode_jit(
                     self._decoder_params, c, arena,
