@@ -64,6 +64,29 @@ def test_matches_xla_reference(quant, li):
     )
 
 
+@pytest.mark.parametrize("li", [0, 1])
+def test_s8dot_matches_dequant_kernel(monkeypatch, li):
+    """The s8xs8-dot int8 kernel (q/probability row-quant, MXU int8 dots)
+    vs the dequant-in-register kernel: both approximate the same math; the
+    extra error from the two row quantizations is ~1/254 per operand."""
+    q, cache, bias, k_ref, v_ref = _random_case(jax.random.PRNGKey(li), True)
+    monkeypatch.setenv("TRACE_TPU_DECODE_ATTN_S8", "1")
+    got_s8 = decode_attention(q, cache, jnp.int32(li), bias, interpret=True)
+    monkeypatch.setenv("TRACE_TPU_DECODE_ATTN_S8", "0")
+    got_deq = decode_attention(q, cache, jnp.int32(li), bias, interpret=True)
+    want = _attention(q, k_ref[li], v_ref[li], bias[:, None, None, :])
+    for got in (got_s8, got_deq):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+    # and the two kernels agree with each other at the same tolerance
+    np.testing.assert_allclose(
+        np.asarray(got_s8, np.float32), np.asarray(got_deq, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_bf16_inputs():
     q, cache, bias, k_ref, v_ref = _random_case(jax.random.PRNGKey(7), False)
     qb = q.astype(jnp.bfloat16)

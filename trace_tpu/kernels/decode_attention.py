@@ -94,6 +94,54 @@ def _kernel_int8(
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
+def _kernel_int8_s8dot(
+    li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref, *,
+    scale, hpb
+):
+    """s8xs8-dot variant: the int8 KV blocks feed the MXU directly.
+
+    _kernel_int8 spends its VPU on casting the [S, hd] kq/vq blocks to
+    bf16 (2*S*hd elements per head — the dominant in-kernel compute at
+    serving S, measured 505 GB/s effective vs the 819 GB/s HBM roofline,
+    benchmarks/attn_bw_probe.py).  Instead quantize the SMALL operands
+    ([G, hd] q rows; [G, S] post-softmax probabilities) to int8 and run
+    both dots as s8xs8 -> s32, folding the row scales into the output:
+        q . (kq * ks)^T == (qq . kq^T) * qs * ks
+        softmax(p) . (vq * vs) == ((pq . vq) * ps) / l,  pq = q8(p * vs)
+    Probability quantization error is bounded by the per-row max (exactly
+    1.0 pre-normalization), i.e. <= 1/254 per slot — same order as the
+    int8 KV storage the path already uses; parity pinned in
+    tests/test_decode_attention.py and the 7B divergence probes."""
+    for h in range(hpb):
+        q = q_ref[0, h].astype(jnp.float32)                        # [G, hd]
+        qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa, 1e-8) * (1.0 / 127.0)
+        qq = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        kq = kq_ref[0, 0, h]                                       # [S, hd] s8
+        vq = vq_ref[0, 0, h]
+        ks = ks_ref[0, 0, h].astype(jnp.float32)                   # [1, S]
+        vs = vs_ref[0, 0, h].astype(jnp.float32)
+        s32 = jax.lax.dot_general(
+            qq, kq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                          # [G, S]
+        s = s32.astype(jnp.float32) * (qs * scale) * ks
+        s = s + bias_ref[0]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = p * vs                                                # [G, S]
+        pa = jnp.max(pv, axis=-1, keepdims=True)  # pv >= 0
+        ps = jnp.maximum(pa, 1e-30) * (1.0 / 127.0)
+        pq = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+        o32 = jax.lax.dot_general(
+            pq, vq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                          # [G, hd]
+        o = o32.astype(jnp.float32) * ps / jnp.maximum(l, 1e-30)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
 def decode_attention_supported(q: jax.Array, cache) -> bool:
     """Static eligibility: single-token chunk shapes with tile-legal dims.
 
@@ -153,7 +201,15 @@ def decode_attention(
     bias_spec = pl.BlockSpec((1, 1, S), bias_map)
 
     if quant:
-        kernel = functools.partial(_kernel_int8, scale=scale, hpb=hpb)
+        # s8xs8 dots (default): kq/vq feed the MXU as int8 — no [S, hd]
+        # VPU casts.  TRACE_TPU_DECODE_ATTN_S8=0 restores the bf16-dot
+        # kernel (dequant-in-register).
+        k_impl = (
+            _kernel_int8_s8dot
+            if os.environ.get("TRACE_TPU_DECODE_ATTN_S8", "1") == "1"
+            else _kernel_int8
+        )
+        kernel = functools.partial(k_impl, scale=scale, hpb=hpb)
         in_specs = [q_spec, kv_spec, scale_spec, kv_spec, scale_spec, bias_spec]
         operands = (qg, cache["kq"], cache["ks"], cache["vq"], cache["vs"], bias3)
     else:
