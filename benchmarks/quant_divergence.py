@@ -109,6 +109,11 @@ def main():
                          "per-output-channel — the layout that collapsed "
                          "to 0.3%% agreement at 7B, r4). Artifacts for "
                          "grouped runs are tagged int4p_g<group>.")
+    ap.add_argument("--suffix", default="",
+                    help="extra artifact tag for env-variant runs (e.g. "
+                         "'w8a8dec' when TRACE_TPU_DECODE_W8A8=1, 's8attn' "
+                         "for the s8dot decode-attention kernel) — appended "
+                         "as <phase>_<suffix>")
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--tokens", type=int, default=1024)
     ap.add_argument("--prefix", type=int, default=256)
@@ -175,6 +180,8 @@ def main():
         params = fuse_decoder_serving(params)
         assert "wqkv" in params["layers"], "serving fusion did not engage"
         args.phase = args.phase + "_fused"  # artifact names carry the layout
+    if args.suffix:
+        args.phase = args.phase + "_" + args.suffix
     print(f"host params in {time.time() - t0:.1f}s", flush=True)
 
     # combined input-embedding table + prefix embeds, shared across phases
