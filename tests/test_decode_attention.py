@@ -72,18 +72,26 @@ def test_s8dot_matches_dequant_kernel(monkeypatch, li):
     q, cache, bias, k_ref, v_ref = _random_case(jax.random.PRNGKey(li), True)
     monkeypatch.setenv("TRACE_TPU_DECODE_ATTN_S8", "1")
     got_s8 = decode_attention(q, cache, jnp.int32(li), bias, interpret=True)
+    monkeypatch.setenv("TRACE_TPU_DECODE_ATTN_S8", "2")
+    got_stacked = decode_attention(q, cache, jnp.int32(li), bias, interpret=True)
     monkeypatch.setenv("TRACE_TPU_DECODE_ATTN_S8", "0")
     got_deq = decode_attention(q, cache, jnp.int32(li), bias, interpret=True)
     want = _attention(q, k_ref[li], v_ref[li], bias[:, None, None, :])
-    for got in (got_s8, got_deq):
+    for got in (got_s8, got_stacked, got_deq):
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=2e-2, atol=2e-2,
         )
-    # and the two kernels agree with each other at the same tolerance
+    # the two kernels agree with each other at the same tolerance
     np.testing.assert_allclose(
         np.asarray(got_s8, np.float32), np.asarray(got_deq, np.float32),
         rtol=2e-2, atol=2e-2,
+    )
+    # stacked is the same math as per-head s8dot, only the op batching
+    # differs — elementwise identical up to f32 noise
+    np.testing.assert_allclose(
+        np.asarray(got_stacked, np.float32), np.asarray(got_s8, np.float32),
+        rtol=1e-5, atol=1e-5,
     )
 
 

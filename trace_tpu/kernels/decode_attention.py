@@ -142,6 +142,63 @@ def _kernel_int8_s8dot(
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
+def _kernel_int8_s8dot_stacked(
+    li_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref, bias_ref, o_ref, *,
+    scale, hpb
+):
+    """s8dot with the VPU chain batched across the program's hpb heads.
+
+    The flat hpb sweep (2/4/8 -> 9.9/10.2/9.9 ms at B=24 S=3072,
+    benchmarks/_r5/probe*.log) shows the kernel is bound neither by grid
+    count nor by bulk VPU throughput (removing the [S, hd] casts changed
+    nothing) — the critical path is the DEPENDENT op chain
+    dot -> scale -> max -> exp -> sum -> quant -> dot, serialized once per
+    head (B*NKV = 192 chains per layer at serving shape).  This variant
+    keeps the hpb independent QK dots, stacks their scores into one
+    [hpb*G, S] block, runs a single softmax/quantize chain over it (same
+    element count, 1/hpb the per-op issue latencies on the dependent path),
+    then runs the hpb independent PV dots.  Numerically identical math to
+    _kernel_int8_s8dot up to f32 op order."""
+    G = q_ref.shape[2]
+    s_heads = []
+    qs_heads = []
+    for h in range(hpb):
+        q = q_ref[0, h].astype(jnp.float32)                        # [G, hd]
+        qa = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qs = jnp.maximum(qa, 1e-8) * (1.0 / 127.0)
+        qq = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        s_heads.append(jax.lax.dot_general(
+            qq, kq_ref[0, 0, h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ))                                                         # [G, S]
+        qs_heads.append(qs)
+    S = s_heads[0].shape[-1]
+    s32 = jnp.concatenate(s_heads, axis=0)                         # [R, S]
+    qs = jnp.concatenate(qs_heads, axis=0)                         # [R, 1]
+    # per-slot K/V scales differ per head: broadcast [hpb, 1, S] -> [R, S]
+    ks = jnp.broadcast_to(
+        ks_ref[0, 0].astype(jnp.float32), (hpb, G, S)).reshape(hpb * G, S)
+    vs = jnp.broadcast_to(
+        vs_ref[0, 0].astype(jnp.float32), (hpb, G, S)).reshape(hpb * G, S)
+    s = s32.astype(jnp.float32) * (qs * scale) * ks
+    s = s + bias_ref[0]                                            # [1, S]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = p * vs                                                    # [R, S]
+    pa = jnp.max(pv, axis=-1, keepdims=True)  # pv >= 0
+    ps = jnp.maximum(pa, 1e-30) * (1.0 / 127.0)
+    pq = jnp.clip(jnp.round(pv / ps), -127, 127).astype(jnp.int8)
+    for h in range(hpb):
+        o32 = jax.lax.dot_general(
+            pq[h * G:(h + 1) * G], vq_ref[0, 0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                                          # [G, hd]
+        o = (o32.astype(jnp.float32) * ps[h * G:(h + 1) * G]
+             / jnp.maximum(l[h * G:(h + 1) * G], 1e-30))
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
 def decode_attention_supported(q: jax.Array, cache) -> bool:
     """Static eligibility: single-token chunk shapes with tile-legal dims.
 
@@ -202,13 +259,14 @@ def decode_attention(
 
     if quant:
         # s8xs8 dots (default): kq/vq feed the MXU as int8 — no [S, hd]
-        # VPU casts.  TRACE_TPU_DECODE_ATTN_S8=0 restores the bf16-dot
-        # kernel (dequant-in-register).
-        k_impl = (
-            _kernel_int8_s8dot
-            if os.environ.get("TRACE_TPU_DECODE_ATTN_S8", "1") == "1"
-            else _kernel_int8
-        )
+        # VPU casts.  TRACE_TPU_DECODE_ATTN_S8: 2 (default) = stacked
+        # softmax chain across the program's heads, 1 = per-head chains,
+        # 0 = bf16-dot dequant-in-register kernel.
+        s8_mode = os.environ.get("TRACE_TPU_DECODE_ATTN_S8", "2")
+        k_impl = {
+            "0": _kernel_int8,
+            "1": _kernel_int8_s8dot,
+        }.get(s8_mode, _kernel_int8_s8dot_stacked)
         kernel = functools.partial(k_impl, scale=scale, hpb=hpb)
         in_specs = [q_spec, kv_spec, scale_spec, kv_spec, scale_spec, bias_spec]
         operands = (qg, cache["kq"], cache["ks"], cache["vq"], cache["vs"], bias3)
