@@ -634,7 +634,14 @@ def main():
                 )
                 for i in range(eb)
             ]
-            time.sleep(0.5)  # let async uploads drain off the timed window
+            # fence the async frame uploads OFF the timed window (a fixed
+            # sleep undershot at ~40 MB/s link: 2 videos x 16.8 MB take
+            # ~0.8 s to land, and the contaminated window read 117 f/s
+            # for a 525 f/s program — e2e_run1, r5)
+            for s in samples:
+                fr = s[2]
+                buf = fr[1] if isinstance(fr, tuple) else fr
+                np.asarray(jax.device_get(buf.ravel()[:1]))
             t0 = time.perf_counter()
             prefix, _mask = pipe._encode_prepared(samples)
             np.asarray(jnp.sum(prefix.ravel()[:8].astype(jnp.float32)))

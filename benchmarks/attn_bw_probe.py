@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--hpb", type=int, nargs="+", default=[2, 4, 8])
     ap.add_argument("--bf16", action="store_true", help="bf16 cache instead")
     ap.add_argument("--xla", action="store_true", help="also time the XLA path")
+    ap.add_argument("--dma-only", action="store_true",
+                    help="stream the same K/V blocks through the same grid "
+                         "but touch only one row per block — the pure-DMA "
+                         "roofline for this access pattern (isolates HBM "
+                         "streaming from the attention compute)")
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
     B, S = args.b, args.s
@@ -63,17 +68,85 @@ def main():
     q = jnp.zeros((B, H, 1, HD), jnp.bfloat16)
     bias = jnp.zeros((B, S), jnp.float32)
 
-    def make_sweep():
+    def _dma_only_attention(q, cache, li, bias, hpb):
+        """Same grid + BlockSpecs as decode_attention's int8 path; the
+        kernel body reads one sublane row of each K/V block (the whole
+        block still DMAs into VMEM) and does one add — pure streaming."""
+        import functools
+
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        Bq, Hq, _, hd = q.shape
+        Gq = Hq // NKV
+        qg = q.reshape(Bq, NKV, Gq, hd)
+        li_arr = jnp.reshape(li, (1,)).astype(jnp.int32)
+
+        def q_map(b, n, li_ref):
+            return (b, n, 0, 0)
+
+        def kv_map(b, n, li_ref):
+            return (li_ref[0], b, n, 0, 0)
+
+        def kernel(li_ref, q_ref, kq_ref, vq_ref, o_ref, *, hpb):
+            for h in range(hpb):
+                row = (kq_ref[0, 0, h, :1, :].astype(jnp.float32)
+                       + vq_ref[0, 0, h, :1, :].astype(jnp.float32))
+                o_ref[0, h] = jnp.broadcast_to(
+                    row, o_ref.shape[2:]
+                ).astype(o_ref.dtype)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Bq, NKV // hpb),
+            in_specs=[
+                pl.BlockSpec((1, hpb, Gq, hd), q_map),
+                pl.BlockSpec((1, 1, hpb, S, hd), kv_map),
+                pl.BlockSpec((1, 1, hpb, S, hd), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, hpb, Gq, hd), q_map),
+        )
+        out = pl.pallas_call(
+            functools.partial(kernel, hpb=hpb),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Bq, NKV, Gq, hd), q.dtype),
+        )(li_arr, qg, cache["kq"], cache["vq"])
+        return out.reshape(Bq, Hq, 1, hd)
+
+    def make_sweep(dma_hpb=None):
         @jax.jit
         def sweep(q, cache, bias):
             def body(acc, li):
-                o = decode_attention(q, cache, li, bias)
+                if dma_hpb is not None:
+                    o = _dma_only_attention(q, cache, li, bias, dma_hpb)
+                else:
+                    o = decode_attention(q, cache, li, bias)
                 return acc + o.astype(jnp.float32), None
             acc, _ = jax.lax.scan(
                 body, jnp.zeros(q.shape, jnp.float32), jnp.arange(L)
             )
             return jnp.sum(acc)
         return sweep
+
+    if args.dma_only:
+        kv_bytes_dma = 2 * L * B * NKV * S * HD  # int8 K+V only, no scales
+        for hpb in args.hpb:
+            sweep = make_sweep(dma_hpb=hpb)
+            t0 = time.time()
+            np.asarray(sweep(q, cache, bias))
+            tc = time.time() - t0
+            t0 = time.time()
+            for _ in range(args.reps):
+                r = sweep(q, cache, bias)
+            np.asarray(r)
+            dt = (time.time() - t0) / args.reps
+            print(
+                f"dma-only hpb={hpb}: compile {tc:.0f}s sweep {dt*1e3:.2f} ms "
+                f"({kv_bytes_dma/1e9/dt:.0f} GB/s, {dt/L*1e6:.0f} us/layer) "
+                f"B={B} S={S} int8",
+                flush=True,
+            )
+        return
 
     for hpb in args.hpb:
         os.environ["TRACE_TPU_DECODE_ATTN_HPB"] = str(hpb)

@@ -12,5 +12,12 @@ done
 
 echo "=== decode fuse probe with stacked attention (B=24, S=3072, pb=4) ==="
 TRACE_TPU_DECODE_ATTN_S8=2 timeout 1800 python benchmarks/decode_fuse_probe.py \
-    --b 24 --s 3072 --prefill-batch 4 --modes fused 2>&1 | grep -v "^WARNING" | tail -2
+    --b 24 --s 3072 --prefill-batch 2 --modes fused 2>&1 | grep -v "^WARNING" | tail -2
+echo "=== probe queue 3 done ==="
+
+echo "=== prefill sub-batch sweep retry (scan, P=2560, B=24, quiet chip) ==="
+sleep 10
+TRACE_TPU_PREFILL_SCAN=1 timeout 2400 python benchmarks/prefill_probe.py \
+    --batch 24 --prefix 2560 --sub-batches 3 4 --reps 3 2>&1 \
+    | grep -v "^WARNING" | tail -5
 echo "=== probe queue 3 done ==="

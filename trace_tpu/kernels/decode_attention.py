@@ -237,10 +237,14 @@ def decode_attention(
 
     # kv heads per program: bigger blocks = fewer, larger DMAs (better HBM
     # streaming) at ~S*hd*2*hpb bytes of VMEM per buffer; bounded to keep
-    # K+V (+double buffering) under ~8 MB of the ~16 MB VMEM
+    # K+V (+double buffering) under a budget of the ~16 MB VMEM.  The 8 MB
+    # default silently demoted hpb=8 to 4 at serving shape (S=3072,
+    # hd=128: per_head 393 KB) — raise via TRACE_TPU_DECODE_ATTN_VMEM_MB
+    # to A/B genuinely larger blocks (13 MB admits hpb=8 int8).
     hpb = int(os.environ.get("TRACE_TPU_DECODE_ATTN_HPB", "4"))
+    vmem_mb = float(os.environ.get("TRACE_TPU_DECODE_ATTN_VMEM_MB", "8"))
     per_head = S * hd * (1 if quant else 2)
-    while hpb > 1 and (NKV % hpb or 4 * hpb * per_head > 8 * 1024 * 1024):
+    while hpb > 1 and (NKV % hpb or 4 * hpb * per_head > vmem_mb * 1024 * 1024):
         hpb //= 2
 
     def q_map(b, n, li_ref):
