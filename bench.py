@@ -588,8 +588,8 @@ def main():
                 # (later, smaller programs keep failing) — fall back in a
                 # FRESH process so the smaller batch gets a clean chip.
                 # Gentle descent (32 usually fits; an OOM there is often
-                # transient residue): 32 -> 24 -> 16 -> 8 -> ... -> 1.
-                next_b = 24 if B == 32 else (16 if B == 24 else B // 2)
+                # transient residue): 32/28 -> 24 -> 16 -> 8 -> ... -> 1.
+                next_b = 24 if B in (32, 28) else (16 if B == 24 else B // 2)
                 if B > 1:
                     import subprocess
 
