@@ -265,11 +265,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
-    ap.add_argument("--videos", type=int, default=2, help="timed batches "
-                    "(corpus = videos x batch). Default 2: streamed mode "
-                    "needs >= 2 decode chunks per pass to overlap decode "
-                    "into the next chunk's encode window — at 1 it "
-                    "degenerates to two-phase.")
+    ap.add_argument("--videos", type=int, default=4, help="timed batches "
+                    "(corpus = videos x batch). Streamed mode needs >= 2 "
+                    "decode chunks per pass to overlap at all; at 2 the "
+                    "first chunk's uploads (~400 MB, 9-18 s through the "
+                    "tunnel) are a fill bubble that is HALF the pass — "
+                    "r5 run 1 measured 0.784 s/video against a 0.606 "
+                    "chip budget. Default 4 amortizes fill/drain to ~1/4 "
+                    "so the pass approaches steady-state overlap; ~70 s "
+                    "per pass still fits the in-run time budgets.")
     ap.add_argument("--batch", type=int, default=32, help="videos per batch "
                     "(32 fits since the decode cache aliases its donated "
                     "input; falls back by halving on OOM)")
@@ -707,6 +711,24 @@ def main():
                 iso["decode_bw_floor_ms_per_step"] = round(floor_ms, 2)
                 iso["decode_pct_of_bw_floor"] = round(
                     100 * floor_ms / ms_step, 1
+                )
+                # 819 GB/s is the paper peak; what the chip actually
+                # streams for these access patterns was measured directly
+                # (BENCH_NOTES r5 s3): a compute-free DMA-only kernel with
+                # the decode-attention BlockSpecs moves the KV arena at
+                # ~470 GB/s, and plain XLA weight streaming measures
+                # ~620 GB/s. The measured floor is the attainable
+                # speed-of-light for this layout; pct > ~100 of it means
+                # XLA is overlapping the two streams.
+                floor_meas_ms = (
+                    arena_bytes / (470e9)
+                    + _tree_bytes(pipe._decoder_params) / (620e9)
+                ) * 1e3
+                iso["decode_measured_floor_ms_per_step"] = round(
+                    floor_meas_ms, 2
+                )
+                iso["decode_pct_of_measured_floor"] = round(
+                    100 * floor_meas_ms / ms_step, 1
                 )
             print(f"isolated phases: {json.dumps(iso)}", flush=True)
         except Exception as e:  # pragma: no cover - measurement best-effort
