@@ -76,6 +76,38 @@ def test_corpus_split_store_path(pipe):
         assert a.to_dict() == b.to_dict()
 
 
+def test_corpus_prepared_np_items_match(pipe):
+    """load_item may return a PreparedSampleNP (pure-host prep hoisted out
+    of the timed window — bench.py's pool); results must be identical to
+    handing the corpus raw (frames, ts, instruction) triples, and the
+    prepared sample must hold no device buffers."""
+    items = _items(pipe, 4)
+    want = pipe.infer_events_corpus(
+        lambda i: items[i], 4, encode_batch=2, decode_batch=2,
+        max_new_tokens=12,
+    )
+    prepared = [pipe.prepare_sample_host_np(f, ts, q) for f, ts, q in items]
+    for ps in prepared:
+        leaves = jax.tree.leaves(
+            (ps.token_ids, ps.frames_spec, ps.time_ids)
+        )
+        assert not any(isinstance(x, jax.Array) for x in leaves)
+    got = pipe.infer_events_corpus(
+        lambda i: prepared[i], 4, encode_batch=2, decode_batch=2,
+        max_new_tokens=12,
+    )
+    for a, b in zip(want, got):
+        assert a.to_dict() == b.to_dict()
+
+    # split/streamed mode consumes prepared items through the same path
+    got2 = pipe.infer_events_corpus(
+        lambda i: prepared[i], 4, encode_batch=2, decode_batch=4,
+        prefill_batch=2, max_new_tokens=12, streamed=True,
+    )
+    for a, b in zip(want, got2):
+        assert a.to_dict() == b.to_dict()
+
+
 def test_corpus_split_bucket_overflow(pipe):
     """A later prompt longer than the first batch's bucket falls back to
     per-video rows for its chunks without corrupting earlier chunks."""

@@ -168,3 +168,40 @@ def test_host_downscale_band_matches_full_path():
         rng.integers(0, 255, (2, 64, 40, 3), np.uint8), S) is None
     assert host_downscale_band(
         rng.integers(0, 255, (2, 48, 48, 3), np.uint8), S) is None
+
+
+def test_prepared_np_band_route_matches_direct():
+    """prepare_sample_host_np + _upload_prepared must reproduce the direct
+    defer_preprocess sample bit-for-bit on the band (serving) route, and
+    must not create device buffers during host prep."""
+    import jax.numpy as jnp
+
+    from trace_tpu.model.config import TraceConfig
+    from trace_tpu.runtime.pipeline import TracePipeline
+    from trace_tpu.tokenizers.text import ByteTokenizer
+
+    cfg = dataclasses.replace(TraceConfig.tiny(), upload_format="yuv420")
+    # params never touched by host prep; tokenizer+config suffice
+    pipe = TracePipeline(params={}, config=cfg, tokenizer=ByteTokenizer())
+    T, S = cfg.num_frames, cfg.vision.image_size
+    rng = np.random.default_rng(3)
+    frames = np.repeat(np.repeat(
+        rng.integers(0, 255, (T, (S * 3) // 8, (S * 4) // 8, 3), dtype=np.uint8),
+        4, axis=1), 4, axis=2)  # 1.5*S x 2*S: forces the band downscale
+    ts = [[float(i)] for i in range(T)]
+
+    direct = pipe._prepare_sample_host(frames, ts, "q", defer_preprocess=True)
+    ps = pipe.prepare_sample_host_np(frames, ts, "q")
+    assert not any(
+        isinstance(x, jax.Array)
+        for x in jax.tree.leaves((ps.token_ids, ps.frames_spec, ps.time_ids))
+    )
+    up = pipe._upload_prepared(ps)
+
+    np.testing.assert_array_equal(direct[0], up[0])   # token ids
+    assert direct[1] == up[1]                          # video_pos
+    np.testing.assert_array_equal(direct[3], up[3])   # time ids
+    fd, fu = direct[2], up[2]
+    assert isinstance(fd, tuple) and fd[0] == fu[0]    # same route tag
+    for a, b in zip(fd[1:], fu[1:]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

