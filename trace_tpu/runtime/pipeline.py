@@ -819,6 +819,10 @@ class TracePipeline:
         _phase_acc = [0.0, 0.0]   # prefill_s, decode_loop_s
         decode_wall = [0.0]
         arena_box = {"a": None}
+        # chunk stores alive on device: counted from creation until the
+        # chunk's decode RETURNS (a popped store stays alive through its
+        # prefill — it is the prefill's input), or until legacy extraction
+        live_stores = [0]
 
         def _arena_ready():
             nonlocal prewarm_thread, kv_arena
@@ -842,7 +846,8 @@ class TracePipeline:
             start = c * decode_batch
             chunk = list(range(start, min(start + decode_batch, num_items)))
             B = len(chunk)
-            if c in stores:
+            had_store = c in stores
+            if had_store:
                 prefix = stores.pop(c)
                 mask = np.stack([masks[i] for i in chunk])
             else:
@@ -903,6 +908,8 @@ class TracePipeline:
                     ids, detok, text_vocab_size=self.config.decoder.vocab_size
                 )
             decoded_chunks.add(c)
+            if had_store:
+                live_stores[0] -= 1
             decode_wall[0] += _time.perf_counter() - t0
 
         def _prewarm(arena, bucket):
@@ -1037,6 +1044,7 @@ class TracePipeline:
                             legacy_chunks.add(c)
                             st = stores.pop(c, None)
                             if st is not None:
+                                live_stores[0] -= 1
                                 base = c * decode_batch
                                 for rr in range(st.shape[0]):
                                     j = base + rr
@@ -1052,10 +1060,26 @@ class TracePipeline:
                             fence_buf = prefixes[i]
                             continue
                         if c not in stores:
+                            # cap LIVE chunk stores at 2 (each is
+                            # B*L_bucket*D bf16 — 503 MB at serving shapes;
+                            # a store stays live through its chunk's
+                            # prefill after it leaves the dict): with host
+                            # prep hoisted out of the pass the encoder
+                            # outruns the decode worker to a 3-store
+                            # high-water that OOMs next to the KV arena
+                            # (r5 run 3, batch 24 + 512 budget). Waiting on
+                            # the oldest pending decode releases one.
+                            while (
+                                decode_pool is not None
+                                and live_stores[0] >= 2
+                                and pending_decodes
+                            ):
+                                pending_decodes.pop(0).result()
                             Bc = min(decode_batch, num_items - c * decode_batch)
                             stores[c] = jnp.zeros(
                                 (Bc, L_bucket, D), self.config.dtype
                             )
+                            live_stores[0] += 1
                         stores[c] = _store_prefix_rows(
                             stores[c], prefix[b : b + 1], jnp.int32(r)
                         )
