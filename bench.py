@@ -605,7 +605,17 @@ def main():
                 # FRESH process so the smaller batch gets a clean chip.
                 # Gentle descent (32 usually fits; an OOM there is often
                 # transient residue): 32/28 -> 24 -> 16 -> 8 -> ... -> 1.
-                next_b = 24 if B in (32, 28) else (16 if B == 24 else B // 2)
+                # One same-batch retry first (also in a fresh process):
+                # residue from a previous killed/OOMed client on the shared
+                # chip clears with the reconnect, and dropping 24 -> 16
+                # costs ~30% of the headline when the OOM was transient.
+                if not os.environ.get("TRACE_TPU_BENCH_SAME_B_RETRY"):
+                    os.environ["TRACE_TPU_BENCH_SAME_B_RETRY"] = "1"
+                    next_b = B
+                else:
+                    next_b = (
+                        24 if B in (32, 28) else (16 if B == 24 else B // 2)
+                    )
                 if B > 1:
                     import subprocess
 
