@@ -577,6 +577,7 @@ def main():
     t0 = time.perf_counter()
     attempts = 0
     while B >= 1:
+        reexec_b = None
         try:
             run_corpus(B)  # compile + warmup at this batch size
             # feed the watchdog: long corpora + slow remote compiles can
@@ -617,19 +618,34 @@ def main():
                         24 if B in (32, 28) else (16 if B == 24 else B // 2)
                     )
                 if B > 1:
-                    import subprocess
+                    # the re-exec runs OUTSIDE this except clause: while it
+                    # executes, the interpreter's exception state pins the
+                    # traceback frames, which pin the pipeline's device tree
+                    reexec_b = next_b
+                else:
+                    B = next_b
+        if reexec_b is not None:
+            import gc
+            import subprocess
 
-                    argv = [sys.executable, os.path.abspath(__file__)]
-                    it = iter(sys.argv[1:])
-                    for a in it:
-                        if a == "--batch":
-                            next(it, None)
-                            continue
-                        argv.append(a)
-                    argv += ["--batch", str(next_b)]
-                    print(f"re-exec fresh process at batch {next_b}", flush=True)
-                    raise SystemExit(subprocess.run(argv).returncode)
-                B = next_b
+            # free THIS process's device tree before blocking in the child:
+            # the parent otherwise waits in subprocess.run with 12+ GB
+            # (weights + arena) still resident, so every fallback child
+            # inherits a full chip and the ladder rides 24 -> 16 -> 8 on
+            # pure residue (r5 run 6). Rebinding the local updates the
+            # closures' cell too (run_corpus/emit_result see None).
+            pipe = None  # noqa: F841
+            gc.collect()
+            argv = [sys.executable, os.path.abspath(__file__)]
+            it = iter(sys.argv[1:])
+            for a in it:
+                if a == "--batch":
+                    next(it, None)
+                    continue
+                argv.append(a)
+            argv += ["--batch", str(reexec_b)]
+            print(f"re-exec fresh process at batch {reexec_b}", flush=True)
+            raise SystemExit(subprocess.run(argv).returncode)
     if B < 1:
         raise RuntimeError("no decode batch size fits")
     compile_t = time.perf_counter() - t0

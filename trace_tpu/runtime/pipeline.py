@@ -994,6 +994,12 @@ class TracePipeline:
                 while decode_pool is not None and len(pending_decodes) >= 2:
                     pending_decodes.pop(0).result()  # backpressure
                 prepared = futures[bi].result()
+                # drop the future's own reference: a consumed future kept
+                # its result's DEVICE frame buffers (16.8 MB/video) alive
+                # for the whole corpus — 1.6 GB of zombie uploads by the
+                # end of a 96-video pass, and the mid-pass OOM that capped
+                # the corpus at ~100 videos (r5 runs 3/4/6)
+                futures[bi] = None
                 if kv_arena is None and split_mode and not arena_started:
                     arena_started = True
                     # grab the decode-batch KV arena NOW, before the first
