@@ -265,14 +265,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--decode-tokens", type=int, default=256)
-    ap.add_argument("--videos", type=int, default=8, help="timed batches "
+    ap.add_argument("--videos", type=int, default=6, help="timed batches "
                     "(corpus = videos x batch). Streamed mode needs >= 2 "
                     "decode chunks per pass to overlap at all; at 2 the "
                     "first chunk's uploads (~400 MB, 9-18 s through the "
                     "tunnel) are a fill bubble that is HALF the pass — "
                     "r5 run 1 measured 0.784 s/video against a 0.606 "
-                    "chip budget. Default 8 amortizes fill/drain to ~1/8 "
-                    "(~130 s per pass; the in-run time budgets scale).")
+                    "chip budget. Default 6 amortizes fill to ~6% while "
+                    "keeping passes ~105 s: the shared link's minute-scale "
+                    "weather makes short passes sample best-of windows "
+                    "better than the asymptotically-superior long ones "
+                    "(r5 run 7: 143 s passes averaged bad+good weather).")
     ap.add_argument("--batch", type=int, default=32, help="videos per batch "
                     "(32 fits since the decode cache aliases its donated "
                     "input; falls back by halving on OOM)")
@@ -903,11 +906,13 @@ def main():
     pi = 0
     while True:
         elapsed = time.perf_counter() - t_main0
-        if pi >= 3:
+        if pi >= 4:
             bad_window = link_rates and max(link_rates) < LINK_GATE_MBPS
             if not (bad_window and pi < 6 and elapsed < 1500):
                 break
             extra_passes += 1
+        elif pi == 3 and elapsed > 1100:
+            break
         elif pi == 2 and elapsed > 1200:
             break
         rate = measure_link_mbps()
