@@ -920,7 +920,11 @@ def main():
     while True:
         elapsed = time.perf_counter() - t_main0
         if pi >= 4:
-            bad_window = link_rates and max(link_rates) < LINK_GATE_MBPS
+            # keep sampling while the BEST pass so far ran under a bad link:
+            # a single good pre-pass probe used to disarm the gate even when
+            # that pass itself ran slow (the probe brackets, not measures,
+            # the pass window — r5s6 run: probe 34.3, pass 1.200 videos/s)
+            bad_window = (best_link[0] or 0) < LINK_GATE_MBPS
             if not (bad_window and pi < 6 and elapsed < 1500):
                 break
             extra_passes += 1
