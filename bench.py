@@ -924,7 +924,7 @@ def main():
             # a single good pre-pass probe used to disarm the gate even when
             # that pass itself ran slow (the probe brackets, not measures,
             # the pass window — r5s6 run: probe 34.3, pass 1.200 videos/s)
-            bad_window = (best_link[0] or 0) < LINK_GATE_MBPS
+            bad_window = bool(link_rates) and (best_link[0] or 0) < LINK_GATE_MBPS
             if not (bad_window and pi < 6 and elapsed < 1500):
                 break
             extra_passes += 1
