@@ -320,6 +320,15 @@ def main():
                          "(16.8 vs 12.9 MB — see content_band). Disclosed "
                          "as extra.source_aspect; --aspect 4:3 reproduces "
                          "the r1-r5s4 numbers' wire load.")
+    ap.add_argument("--tokenizer", choices=["spm", "bytes"], default="spm",
+                    help="synthetic text tokenizer. 'spm' (default) has "
+                         "SentencePiece-like sequence statistics (the "
+                         "reference tokenizes with Mistral SPM: the llama_2 "
+                         "DVC prompt is ~165 SPM tokens; this emits 173); "
+                         "'bytes' (1 token/char, 697 tokens for the same "
+                         "prompt) reproduces the r1-r5s5 numbers' inflated "
+                         "prefix (2478 vs ~1966 tokens). Disclosed as "
+                         "extra.text_tokenizer.")
     ap.add_argument("--precompile-decode", action="store_true",
                     help="compile the --batch decode executable into the "
                          "persistent cache and exit. The tunneled compiler "
@@ -346,7 +355,7 @@ def main():
     from trace_tpu.model.config import DecoderConfig, TraceConfig, VisionConfig
     from trace_tpu.model.trace_model import tokens_per_frame
     from trace_tpu.runtime.pipeline import TracePipeline
-    from trace_tpu.tokenizers.text import ByteTokenizer
+    from trace_tpu.tokenizers.text import ByteTokenizer, SpmLikeTokenizer
 
     if args.small:
         config = TraceConfig.tiny()
@@ -384,7 +393,7 @@ def main():
         quant=args.quant if not args.small else "bf16",
         vit_quant=args.vit if not args.small else "bf16",
     )
-    tok = ByteTokenizer()
+    tok = SpmLikeTokenizer() if args.tokenizer == "spm" else ByteTokenizer()
     pipe = TracePipeline(params=params, config=config, tokenizer=tok)
     del params  # pipeline dedupes the embed table; drop the outer reference
 
@@ -883,6 +892,10 @@ def main():
                 # 640x360 distribution format (4:3 pads less -> ~30% more
                 # band bytes; r1-r5s4 numbers used 4:3 — see --aspect)
                 "source_aspect": args.aspect,
+                # 'spm': SentencePiece-like sequence statistics (the real
+                # workload's tokenizer; ~165 SPM tokens for this prompt,
+                # this emits 173); 'bytes' = r1-r5s5 behavior, 697 tokens
+                "text_tokenizer": args.tokenizer,
                 "link_mbps_per_pass": link_rates or None,
                 # passes 4+ run only when every probe stayed under the gate
                 # (whole run in a bad link window) — disclosed, not hidden

